@@ -1,0 +1,110 @@
+"""Chamfer distance, pure XLA (MXU-friendly, memory-tiled).
+
+TPU-native replacement for two reference CUDA extensions at once:
+  * the training-loss kernel `evaluation/ChamferDistancePytorch/chamfer3D/chamfer3D.cu`
+    (wrapped by `evaluation/cd.py` / `evaluation/loss.py:73-80`), and
+  * the metric kernel `evaluation/pytorch_structural_losses/src/nndistance.cu`
+    (wrapped by `StructuralLosses/nn_distance.py`, used via `distChamferCUDA`
+    in `evaluation/evaluation_metrics.py:16-19`).
+
+Both compute, for clouds `x[B,N,3]`, `y[B,M,3]`:
+  dist1[b,n] = min_m ||x[b,n]-y[b,m]||^2    idx1[b,n] = argmin_m
+  dist2[b,m] = min_n ||...||^2              idx2[b,m] = argmin_n
+
+The pairwise `[N, M]` matrix is built from one `einsum` (runs on the MXU) and
+min-reduced; for large M it is tiled by `lax.scan` chunks so peak memory stays
+bounded while XLA keeps everything fused on-chip. Gradients flow through the
+distance recomputation at the argmin index, which is exactly the analytic VJP
+the CUDA backward implements (scatter of `2*(x-y[idx])`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _min_over_chunks(x, y, chunk: int):
+    """For each point in x, (min sqdist, argmin) over all of y, tiled over y.
+
+    x: [B, N, 3]; y: [B, M, 3] with M % chunk == 0. Returns ([B,N], [B,N]).
+    """
+    b, n, c = x.shape
+    m = y.shape[1]
+    n_chunks = m // chunk
+    y_chunks = y.reshape(b, n_chunks, chunk, c).transpose(1, 0, 2, 3)
+    x_sq = jnp.sum(x * x, axis=-1)  # [B, N]
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        y_c, base = inputs  # [B, chunk, 3], scalar
+        d = (
+            -2.0 * jnp.einsum("bnc,bmc->bnm", x, y_c,
+                              precision=lax.Precision.HIGHEST)
+            + x_sq[..., None]
+            + jnp.sum(y_c * y_c, axis=-1)[:, None, :]
+        )  # [B, N, chunk]
+        d_min = jnp.min(d, axis=-1)
+        d_arg = jnp.argmin(d, axis=-1).astype(jnp.int32) + base
+        take = d_min < best_d
+        return (jnp.where(take, d_min, best_d),
+                jnp.where(take, d_arg, best_i)), None
+
+    init = (jnp.full((b, n), jnp.finfo(x.dtype).max, x.dtype),
+            jnp.zeros((b, n), jnp.int32))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = lax.scan(body, init, (y_chunks, bases))
+    # Guard against tiny negative values from the expanded-form cancellation.
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def chamfer_distance(x: jax.Array, y: jax.Array, chunk: int | None = None):
+    """Bidirectional chamfer.
+
+    Args:
+      x: `[B, N, 3]`.
+      y: `[B, M, 3]`.
+      chunk: optional tile size along the *other* cloud's axis; defaults to the
+        full axis (single-tile) when the matrix is small, 1024 otherwise.
+    Returns:
+      (dist1 `[B,N]`, dist2 `[B,M]`, idx1 `[B,N]` int32, idx2 `[B,M]` int32),
+      with squared euclidean distances — same contract as the reference
+      `chamfer_3DDist` (evaluation/cd.py:27-62).
+    """
+    n, m = x.shape[1], y.shape[1]
+    if chunk is None:
+        chunk = m if n * m <= 4_194_304 else 1024
+
+    def pick(sz):
+        c = min(chunk, sz)
+        while sz % c:
+            c -= 1
+        return c
+
+    d1, i1 = _min_over_chunks(x, y, pick(m))
+    d2, i2 = _min_over_chunks(y, x, pick(n))
+    return d1, d2, i1, i2
+
+
+def chamfer_loss(pred: jax.Array, target: jax.Array, kind: str = "l1") -> jax.Array:
+    """`CD_loss` parity (reference evaluation/loss.py:71-78).
+
+    kind='l1': mean(sqrt(d1)) + mean(sqrt(d2)); kind='l2': mean(d1) + mean(d2).
+    """
+    d1, d2, _, _ = chamfer_distance(pred, target)
+    if kind == "l1":
+        return jnp.mean(jnp.sqrt(jnp.maximum(d1, 1e-12))) + jnp.mean(
+            jnp.sqrt(jnp.maximum(d2, 1e-12))
+        )
+    return jnp.mean(d1) + jnp.mean(d2)
+
+
+def chamfer_metric(x: jax.Array, y: jax.Array):
+    """(dist1, dist2) only — the `distChamferCUDA` metric contract
+    (reference evaluation/evaluation_metrics.py:16-33)."""
+    d1, d2, _, _ = chamfer_distance(x, y)
+    return d1, d2

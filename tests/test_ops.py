@@ -1,0 +1,223 @@
+"""Differential tests for geometry/transport ops against pure-numpy/scipy
+oracles — the same oracle strategy the reference uses (its torch/scipy fallback
+paths in evaluation/evaluation_metrics.py:23-66 are the de-facto references)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ldt_tpu import ops
+
+
+def _np_square_distance(a, b):
+    return ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_square_distance(rng):
+    a = rng.standard_normal((2, 17, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 23, 3)).astype(np.float32)
+    got = np.asarray(ops.square_distance(jnp.asarray(a), jnp.asarray(b)))
+    want = _np_square_distance(a, b)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_index_points(rng):
+    pts = rng.standard_normal((3, 10, 4)).astype(np.float32)
+    idx = rng.integers(0, 10, size=(3, 5)).astype(np.int32)
+    got = np.asarray(ops.index_points(jnp.asarray(pts), jnp.asarray(idx)))
+    want = np.stack([pts[b][idx[b]] for b in range(3)])
+    np.testing.assert_allclose(got, want)
+
+    idx3 = rng.integers(0, 10, size=(3, 5, 7)).astype(np.int32)
+    got3 = np.asarray(ops.index_points(jnp.asarray(pts), jnp.asarray(idx3)))
+    want3 = np.stack([pts[b][idx3[b]] for b in range(3)])
+    np.testing.assert_allclose(got3, want3)
+
+
+def test_knn_point(rng):
+    xyz = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    q = rng.standard_normal((2, 7, 3)).astype(np.float32)
+    idx = np.asarray(ops.knn_point(5, jnp.asarray(xyz), jnp.asarray(q)))
+    d = _np_square_distance(q, xyz)
+    want = np.argsort(d, axis=-1)[..., :5]
+    # compare as sets per query (ties can reorder)
+    assert (np.sort(idx, -1) == np.sort(want, -1)).all()
+
+
+def test_fps_deterministic_and_far(rng):
+    xyz = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    idx = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 8))
+    # starts at 0 like the reference CUDA kernel
+    assert (idx[:, 0] == 0).all()
+    # all distinct
+    for b in range(2):
+        assert len(set(idx[b].tolist())) == 8
+    # greedy-farthest oracle
+    for b in range(2):
+        chosen = [0]
+        mind = ((xyz[b] - xyz[b][0]) ** 2).sum(-1)
+        for _ in range(7):
+            nxt = int(np.argmax(mind))
+            chosen.append(nxt)
+            mind = np.minimum(mind, ((xyz[b] - xyz[b][nxt]) ** 2).sum(-1))
+        assert idx[b].tolist() == chosen
+
+
+def test_ball_query(rng):
+    xyz = rng.uniform(-1, 1, size=(1, 40, 3)).astype(np.float32)
+    q = xyz[:, :4]
+    idx = np.asarray(ops.ball_query(0.5, 6, jnp.asarray(xyz), jnp.asarray(q)))
+    d = _np_square_distance(q, xyz)[0]
+    for i in range(4):
+        in_ball = set(np.nonzero(d[i] <= 0.25)[0].tolist())
+        assert set(idx[0, i].tolist()) <= in_ball
+
+
+def test_chamfer_vs_oracle(rng):
+    x = rng.standard_normal((2, 33, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 47, 3)).astype(np.float32)
+    d1, d2, i1, i2 = ops.chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+    dmat = _np_square_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1), dmat.min(2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), dmat.min(1), atol=1e-4)
+    assert (np.asarray(i1) == dmat.argmin(2)).all()
+    assert (np.asarray(i2) == dmat.argmin(1)).all()
+
+
+def test_chamfer_chunked_matches_dense(rng):
+    x = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    y = rng.standard_normal((1, 128, 3)).astype(np.float32)
+    a = ops.chamfer_distance(jnp.asarray(x), jnp.asarray(y), chunk=32)
+    b = ops.chamfer_distance(jnp.asarray(x), jnp.asarray(y), chunk=128)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-5)
+
+
+def test_chamfer_grad(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 8, 3)).astype(np.float32))
+    g = jax.grad(lambda a: ops.chamfer_loss(a, y, kind="l2"))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # analytic check: d/dx of mean_n min_m ||x_n-y_m||^2 term
+    dmat = _np_square_distance(np.asarray(x), np.asarray(y))[0]
+    idx = dmat.argmin(1)
+    n = 8
+    want = 2 * (np.asarray(x)[0] - np.asarray(y)[0][idx]) / n
+    # the reverse direction also contributes where x is someone's nearest
+    idx2 = dmat.argmin(0)
+    for m, nn_ in enumerate(idx2):
+        want[nn_] += 2 * (np.asarray(x)[0][nn_] - np.asarray(y)[0][m]) / n
+    np.testing.assert_allclose(np.asarray(g)[0], want, atol=1e-4)
+
+
+def test_auction_emd_vs_hungarian(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    n = 96
+    x = rng.uniform(0, 1, size=(2, n, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(2, n, 3)).astype(np.float32)
+    dist, assign = ops.auction_emd(jnp.asarray(x), jnp.asarray(y),
+                                   eps=0.005, iters=300)
+    got = np.sqrt(np.asarray(dist)).mean()
+    opt = []
+    for b in range(2):
+        d = np.sqrt(_np_square_distance(x[b : b + 1], y[b : b + 1])[0])
+        r, c = linear_sum_assignment(d)
+        opt.append(d[r, c].mean())
+    opt = float(np.mean(opt))
+    # converged auction: (near-)bijective assignment, eps-suboptimal
+    for b in range(2):
+        assert len(set(np.asarray(assign)[b].tolist())) >= n - 2
+    assert opt * 0.98 <= got <= opt * 1.05
+
+    # the reference's training setting (50 iters) is a looser approximation,
+    # possibly non-bijective, but must stay within 10% of optimal
+    dist50, _ = ops.auction_emd(jnp.asarray(x), jnp.asarray(y),
+                                eps=0.005, iters=50)
+    got50 = np.sqrt(np.asarray(dist50)).mean()
+    assert abs(got50 - opt) <= opt * 0.10
+
+
+def test_auction_emd_identity(rng):
+    x = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
+    dist, assign = ops.auction_emd(jnp.asarray(x), jnp.asarray(x), iters=60)
+    assert np.asarray(dist).mean() < 1e-6
+
+
+def test_auction_emd_grad_only_to_pred(rng):
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, size=(1, 32, 3)).astype(np.float32))
+    gx = jax.grad(lambda a: ops.emd_loss(a, y, iters=20))(x)
+    gy = jax.grad(lambda b: ops.emd_loss(x, b, iters=20))(y)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert float(jnp.abs(gx).sum()) > 0
+    # reference CUDA backward returns zero grad for the target cloud
+    assert float(jnp.abs(gy).sum()) == 0.0
+
+
+def test_approx_match_vs_hungarian(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    x = rng.uniform(0, 1, size=(2, 96, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(2, 96, 3)).astype(np.float32)
+    got = np.asarray(ops.emd_approx(jnp.asarray(x), jnp.asarray(y)))
+    for b in range(2):
+        d = np.sqrt(_np_square_distance(x[b : b + 1], y[b : b + 1])[0])
+        r, c = linear_sum_assignment(d)
+        opt = d[r, c].mean()
+        # approxmatch is a coarse annealed upper bound (the CUDA original is
+        # similarly loose on small random clouds)
+        assert got[b] >= opt * 0.95
+        assert got[b] <= opt * 1.40
+
+    # near-identical clouds must give near-zero cost
+    same = np.asarray(
+        ops.emd_approx(jnp.asarray(x), jnp.asarray(x + 1e-4))
+    )
+    assert (same < 5e-3).all()
+
+
+def test_approx_match_mass_conservation(rng):
+    x = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
+    from ldt_tpu.ops.emd import _approx_match_single
+
+    match = np.asarray(
+        _approx_match_single(jnp.asarray(x[0]), jnp.asarray(y[0]))
+    )
+    np.testing.assert_allclose(match.sum(1), np.ones(64), atol=2e-2)
+    np.testing.assert_allclose(match.sum(0), np.ones(64), atol=2e-2)
+
+
+def test_interpolate_and_voxelize(rng):
+    pts = rng.uniform(0, 1, size=(1, 20, 3)).astype(np.float32)
+    ctr = pts[:, :5]
+    feat = rng.standard_normal((1, 5, 4)).astype(np.float32)
+    out = np.asarray(
+        ops.nearest_neighbor_interpolate(
+            jnp.asarray(pts), jnp.asarray(ctr), jnp.asarray(feat)
+        )
+    )
+    # at the centers themselves, interpolation returns the center feature
+    np.testing.assert_allclose(out[0, :5], feat[0], atol=1e-3)
+
+    coords = np.clip((pts * 4).astype(np.int32), 0, 3)
+    grid = ops.avg_voxelize(jnp.asarray(feat[:, :5]),
+                            jnp.asarray(coords[:, :5]), 4)
+    assert grid.shape == (1, 4, 4, 4, 4)
+    devox = ops.trilinear_devoxelize(grid, jnp.asarray(coords[:, :5], jnp.float32))
+    assert np.isfinite(np.asarray(devox)).all()
+
+
+def test_normalize_point_clouds(rng):
+    pc = rng.standard_normal((3, 50, 3)).astype(np.float32) * 5 + 2
+    out = np.asarray(ops.normalize_point_clouds(jnp.asarray(pc)))
+    r = np.sqrt((out**2).sum(-1)).max(1)
+    np.testing.assert_allclose(r, np.ones(3), atol=1e-5)
+    np.testing.assert_allclose(out.mean(1), 0, atol=1e-5)
