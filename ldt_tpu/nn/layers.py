@@ -1,0 +1,352 @@
+"""Shared NN blocks: the set-transformer ResidualBlock family.
+
+TPU-native re-design of the reference's `model/layers.py` (Negai-98/LDT). The
+reference is channels-first torch `Conv1d(k=1)` code; here everything is
+channels-last `[B, N, C]` flax.linen with `Dense` layers, so XLA lays tensors
+out natively for the MXU and fuses the AdaLN modulations into the matmuls.
+
+Parity notes (reference file:line):
+  * `TimeEmbedding`     — model/layers.py:14-41 (sinusoidal -> 2-layer SiLU MLP)
+  * `LabelEmbedding`    — model/layers.py:44-52
+  * `ActNorm`           — model/layers.py:55-107. Data-dependent init happens at
+    `Module.init` time via data-dependent param initializers (the idiomatic JAX
+    analog of the reference's first-training-batch `data_init`).
+  * `MLP`               — model/layers.py:110-133
+  * `ResidualBlock`     — model/layers.py:140-229: Q from x, KV from y (self- or
+    cross-attention), AdaLN shift/scale/gate conditioning (6-param, or 2+4 when
+    dim_in != dim_out), or additive pos-embedding conditioning when AdaLN=False.
+  * `FinalLayer`        — model/layers.py:232-248 (AdaLN 2-param output head)
+  * `get_activation` / norms — tools/utils.py:104-124,168-181
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def get_activation(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    """Activation registry (reference tools/utils.py:104-124)."""
+    if name is None:
+        return lambda x: x
+    name = name.lower()
+    table = {
+        "gelu": jax.nn.gelu,
+        "selu": jax.nn.selu,
+        "silu": jax.nn.silu,
+        "swish": jax.nn.silu,
+        "hardswish": jax.nn.hard_swish,
+        "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
+        "leakyrelu0.2": lambda x: jax.nn.leaky_relu(x, 0.2),
+        "relu": jax.nn.relu,
+    }
+    return table.get(name, jax.nn.relu)
+
+
+def make_norm(norm: Optional[str], features: int, groups: int = 16,
+              elementwise_affine: bool = False, dtype: Dtype = jnp.float32):
+    """Norm registry over the channel (last) axis.
+
+    Mirrors reference tools/utils.py:168-181: layer_norm / group_norm /
+    batch_norm / None. Returns a linen Module (or None for identity).
+    """
+    if norm is None:
+        return None
+    norm = norm.lower()
+    if norm == "layer_norm":
+        return nn.LayerNorm(epsilon=1e-6, use_bias=elementwise_affine,
+                            use_scale=elementwise_affine, dtype=dtype)
+    if norm == "group_norm":
+        return nn.GroupNorm(num_groups=min(features // 4, groups),
+                            epsilon=1e-6, dtype=dtype)
+    if norm == "batch_norm":
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype)
+    raise TypeError(f"norm not supported: {norm}")
+
+
+def sinusoidal_embedding(ts: jax.Array, dim: int,
+                         max_period: float = 10000.0) -> jax.Array:
+    """`TimeEmbedding.calc_t_emb` parity (model/layers.py:20-36).
+
+    ts: `[B]` (float times or integer steps) -> `[B, dim]` = [sin | cos].
+    """
+    assert dim % 2 == 0
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(max_period) / (half - 1))
+    )
+    args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+
+
+class TimeEmbedding(nn.Module):
+    """Sinusoidal time embedding + 2-layer SiLU MLP (model/layers.py:14-41)."""
+
+    dim_embed: int
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        h = sinusoidal_embedding(t, self.dim_embed).astype(self.dtype)
+        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.dim_out, dtype=self.dtype)(h)
+
+
+class LabelEmbedding(nn.Module):
+    """Category embedding + MLP (model/layers.py:44-52)."""
+
+    num_categories: int
+    dim_embed: int
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, label: jax.Array) -> jax.Array:
+        h = nn.Embed(self.num_categories, self.dim_embed, dtype=self.dtype)(label)
+        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.dim_out, dtype=self.dtype)(h)
+
+
+class ActNorm(nn.Module):
+    """Activation normalization with data-dependent init (model/layers.py:55-107).
+
+    `z = (x - shift) * exp(-log_scale)` over the feature (last) axis.
+
+    The reference initializes shift/log_scale from the first training batch and
+    tracks an `initialized` buffer; here the same statistics are computed inside
+    the param initializers, which in JAX run exactly once — at `Module.init`
+    with the batch the caller supplies. Loading a checkpoint replaces the params
+    wholesale, which subsumes the reference's `init()` after-load protocol.
+
+    feature_type='set' pools stats over batch*points per feature ([1,1,F]
+    params); anything else uses per-(token,feature) stats ([1,S,F] params).
+    """
+
+    num_features: int
+    z_scale: int = 1
+    data_dep_init: bool = True
+    eps: float = 1e-6
+    feature_type: str = "set"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, N, F], channels-last.
+        if self.feature_type == "set":
+            shape = (1, 1, self.num_features)
+            reduce_axes = (0, 1)
+        else:
+            shape = (1, self.z_scale, self.num_features)
+            reduce_axes = (0,)
+
+        if self.data_dep_init:
+            def shift_init(key, x=x):
+                return jnp.mean(x, axis=reduce_axes, keepdims=True).reshape(shape)
+
+            def log_scale_init(key, x=x):
+                std = jnp.std(x, axis=reduce_axes, keepdims=True, ddof=1)
+                return jnp.log(std + self.eps).reshape(shape)
+        else:
+            shift_init = nn.initializers.zeros
+            log_scale_init = nn.initializers.zeros
+
+        shift = self.param("shift", shift_init, *(() if self.data_dep_init else (shape,)))
+        log_scale = self.param(
+            "log_scale", log_scale_init, *(() if self.data_dep_init else (shape,))
+        )
+        return (x - shift) * jnp.exp(-log_scale)
+
+
+class MLP(nn.Module):
+    """1x1-conv MLP, channels-last (model/layers.py:110-133)."""
+
+    dim_hidden: int
+    dim_out: int
+    n_hidden: int = 1
+    activation: Optional[str] = "gelu"
+    residual: bool = False
+    dropout_p: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        act = get_activation(self.activation)
+        h = x
+        for _ in range(self.n_hidden):
+            h = act(nn.Dense(self.dim_hidden, dtype=self.dtype)(h))
+            if self.dropout_p > 0:
+                h = nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        if self.residual:
+            if x.shape[-1] != self.dim_out:
+                x = nn.Dense(self.dim_out, dtype=self.dtype, name="shortcut")(x)
+            h = h + x
+        return h
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """AdaLN modulation (model/layers.py:136)."""
+    return x * (1 + scale) + shift
+
+
+class Attention(nn.Module):
+    """Multi-head scaled dot-product attention, Q from x / KV from y.
+
+    The `compute_attention` core of the reference ResidualBlock
+    (model/layers.py:183-200). Softmax runs in float32 regardless of compute
+    dtype; the matmuls hit the MXU.
+    """
+
+    dim_out: int
+    num_heads: int
+    dropout_p: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        d = self.dim_out
+        h = self.num_heads
+        dh = d // h
+        q = nn.Dense(d, dtype=self.dtype, name="fc_q")(x)   # [B, N, D]
+        kv = nn.Dense(2 * d, dtype=self.dtype, name="fc_kv")(y)  # [B, M, 2D]
+        k, v = kv[..., :d], kv[..., d:]
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, h, dh)
+        k = k.reshape(b, m, h, dh)
+        v = v.reshape(b, m, h, dh)
+        w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(self.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+        att = nn.Dense(d, dtype=self.dtype, name="fc_o")(att)
+        if self.dropout_p > 0:
+            att = nn.Dropout(self.dropout_p)(att, deterministic=deterministic)
+        return att
+
+
+class ResidualBlock(nn.Module):
+    """Set-transformer block with AdaLN conditioning (model/layers.py:140-229).
+
+    forward(x [B,N,C], y [B,M,Dkv] or None, c [B,Dc] or [B,N,Dc] or None):
+      * AdaLN path: x = shortcut(x) + gate_msa * Attn(modulate(norm1(x)), y)
+                    x = x + gate_mlp * MLP(modulate(norm2(x)))
+        (6-param adaLN when dim_in == dim_out, else 2-param + 4-param heads —
+         model/layers.py:213-219)
+      * pos-embedding path (AdaLN=False): additive conditioning
+        (model/layers.py:220-223)
+      * unconditional: pre-norm + activation (model/layers.py:224-226)
+
+    When y is None the block self-attends; NOTE the reference passes the *raw*
+    pre-norm x as keys/values when calling `layer(x, x, c)` — keep that calling
+    convention at the call sites.
+    """
+
+    dim_in: int
+    dim_c: Optional[int] = None
+    num_heads: int = 4
+    norm: Optional[str] = "layer_norm"
+    mlp_ratio: float = 4.0
+    dropout_att: float = 0.0
+    dropout_mlp: float = 0.0
+    rescale: bool = False
+    dim_out: Optional[int] = None
+    AdaLN: bool = True
+    act: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: Optional[jax.Array] = None,
+                 c: Optional[jax.Array] = None, *,
+                 deterministic: bool = True) -> jax.Array:
+        dim_out = self.dim_out if self.dim_out is not None else self.dim_in
+        affine = self.dim_c is None
+        norm1 = make_norm(self.norm, self.dim_in, elementwise_affine=affine,
+                          dtype=self.dtype)
+        norm2 = make_norm(self.norm, dim_out, elementwise_affine=affine,
+                          dtype=self.dtype)
+        n1 = norm1 if norm1 is not None else (lambda v: v)
+        n2 = norm2 if norm2 is not None else (lambda v: v)
+        act = get_activation(self.act)
+        attn = Attention(dim_out, self.num_heads, self.dropout_att,
+                         dtype=self.dtype, name="attn")
+        mlp = MLP(int(self.mlp_ratio * dim_out), dim_out, n_hidden=1,
+                  dropout_p=self.dropout_mlp, dtype=self.dtype, name="mlp")
+
+        def shortcut(v):
+            if dim_out != self.dim_in:
+                return nn.Dense(dim_out, dtype=self.dtype, name="shortcut")(v)
+            return v
+
+        if c is not None:
+            if c.ndim == 2:
+                c = c[:, None, :]  # [B, 1, Dc] broadcast over tokens
+            if self.AdaLN:
+                if self.dim_in == dim_out:
+                    mods = nn.Dense(6 * dim_out, dtype=self.dtype,
+                                    name="adaLN")(jax.nn.silu(c))
+                    (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
+                     gate_mlp) = jnp.split(mods, 6, axis=-1)
+                else:
+                    m1 = nn.Dense(2 * self.dim_in, dtype=self.dtype,
+                                  name="adaLN1")(jax.nn.silu(c))
+                    shift_msa, scale_msa = jnp.split(m1, 2, axis=-1)
+                    m2 = nn.Dense(4 * dim_out, dtype=self.dtype,
+                                  name="adaLN2")(jax.nn.silu(c))
+                    gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+                        m2, 4, axis=-1)
+                q_in = modulate(n1(x), shift_msa, scale_msa)
+                x = shortcut(x) + gate_msa * attn(
+                    q_in, y if y is not None else q_in,
+                    deterministic=deterministic)
+                x = x + gate_mlp * mlp(modulate(n2(x), shift_mlp, scale_mlp),
+                                       deterministic=deterministic)
+            else:
+                pos = nn.Dense(self.dim_in, dtype=self.dtype,
+                               name="pos_embedding")(jax.nn.silu(c))
+                x = act(n1(x)) + pos
+                x = shortcut(x) + attn(x, y if y is not None else x,
+                                       deterministic=deterministic)
+                x = x + mlp(act(n2(x)), deterministic=deterministic)
+        else:
+            q_in = act(n1(x))
+            x = shortcut(x) + attn(q_in, y if y is not None else q_in,
+                                   deterministic=deterministic)
+            x = x + mlp(act(n2(x)), deterministic=deterministic)
+        if self.rescale:
+            x = x / math.sqrt(2.0)
+        return x
+
+
+class FinalLayer(nn.Module):
+    """AdaLN output head (model/layers.py:232-248)."""
+
+    dim_out: int
+    dim_c: Optional[int] = None
+    norm: Optional[str] = "layer_norm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: Optional[jax.Array] = None) -> jax.Array:
+        affine = self.dim_c is None
+        norm = make_norm(self.norm, x.shape[-1], elementwise_affine=affine,
+                         dtype=self.dtype)
+        n = norm if norm is not None else (lambda v: v)
+        if c is not None:
+            if c.ndim == 2:
+                c = c[:, None, :]
+            mods = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
+                            name="adaLN")(jax.nn.silu(c))
+            shift, scale = jnp.split(mods, 2, axis=-1)
+            x = modulate(n(x), shift, scale)
+            return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(n(x))
