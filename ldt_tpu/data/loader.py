@@ -1,0 +1,92 @@
+"""Minimal torch-free batch loader with background prefetch.
+
+The TPU-native replacement for the reference's `torch.utils.data.DataLoader`
+usage (datasets/ShapeNet_55.py:224-240): datasets are RAM-resident numpy, so
+worker *processes* are pointless — a single background thread assembling the
+next batch while the device computes keeps the input pipeline off the step
+critical path. Batches are dicts of stacked numpy arrays (host); the trainer
+moves them to device (`jax.device_put` happens implicitly at jit boundaries,
+or explicitly with sharding for multi-chip).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def default_collate(items):
+    """Stack a list of per-example dicts into one dict of arrays."""
+    out: Dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(first, (int, np.integer)):
+            out[key] = np.asarray(vals, np.int32)
+        elif isinstance(first, (float, np.floating)):
+            out[key] = np.asarray(vals, np.float32)
+        else:
+            out[key] = vals  # strings etc.
+    return out
+
+
+class DataLoader:
+    """Shuffling batcher over a map-style dataset (len + __getitem__).
+
+    Mirrors the torch DataLoader contract used by the reference trainers
+    (shuffle, drop_last, deterministic iteration when shuffle=False) with a
+    one-deep prefetch thread instead of worker processes.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 prefetch: int = 2, collate_fn=default_collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield order[start:min(start + self.batch_size, end)]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        self._epoch += 1
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for idxs in self._index_batches():
+                    q.put(self.collate_fn([self.dataset[int(i)] for i in idxs]))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

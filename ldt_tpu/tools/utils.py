@@ -1,0 +1,48 @@
+"""Misc host utilities (reference tools/utils.py equivalents)."""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import numpy as np
+
+
+def normalize_point_clouds(pcs):
+    """Unit-sphere normalization, array-in array-out (tools/utils.py:16-22)."""
+    import jax.numpy as jnp
+
+    pcs = jnp.asarray(pcs)
+    centroid = jnp.mean(pcs, axis=1, keepdims=True)
+    pcs = pcs - centroid
+    furthest = jnp.max(jnp.sqrt(jnp.sum(pcs ** 2, axis=-1, keepdims=True)),
+                       axis=1, keepdims=True)
+    return pcs / furthest
+
+
+def common_init(seed: int) -> jax.Array:
+    """Global seeding (tools/utils.py:269-276). Returns the root jax PRNG key;
+    JAX randomness is threaded explicitly from here (no global device RNG)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+class AverageMeter:
+    """Running average (tools/utils.py:279-295)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        val = float(val)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)

@@ -3,14 +3,23 @@
 Tests must run without TPU hardware; multi-device sharding tests use the
 virtual CPU mesh (the TPU-native analog of the reference's absent multi-node
 test story — SURVEY.md §4).
+
+NOTE: this environment's sitecustomize force-registers the `axon` TPU plugin
+and overrides `jax_platforms` at import time, so the env var alone is not
+enough — the config must be updated again after importing jax, before any
+backend is initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,156 @@
+"""Tests for the generative-metrics stack against numpy oracles.
+
+The oracle implementations mirror the reference's pure-torch/scipy fallbacks
+(evaluation/evaluation_metrics.py:16-66), which are its de-facto correctness
+references (SURVEY.md §4.4).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ldt_tpu.eval import (
+    EMD_CD,
+    F1Score,
+    L2_ChamferEval_1000,
+    compute_CD_metrics,
+    compute_all_metrics,
+    jsd_between_point_cloud_sets,
+    knn,
+    lgan_mmd_cov,
+    pairwise_CD,
+)
+
+
+def np_chamfer_cd(x, y):
+    """Oracle: mean_n min_m ||.||^2 + mean_m min_n ||.||^2 per pair."""
+    d = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return d.min(1).mean() + d.min(0).mean()
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.RandomState(0)
+    smp = rng.randn(6, 32, 3).astype(np.float32)
+    ref = rng.randn(5, 32, 3).astype(np.float32)
+    return smp, ref
+
+
+class TestPairwise:
+    def test_pairwise_cd_matches_oracle(self, clouds):
+        smp, ref = clouds
+        mat = pairwise_CD(smp, ref, batch_size=2)
+        want = np.array([[np_chamfer_cd(s, r) for r in ref] for s in smp])
+        np.testing.assert_allclose(mat, want, rtol=1e-4, atol=1e-5)
+
+    def test_pairwise_cd_block_sizes_agree(self, clouds):
+        smp, ref = clouds
+        a = pairwise_CD(smp, ref, batch_size=1)
+        b = pairwise_CD(smp, ref, batch_size=5)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestKnn:
+    def test_hand_computed_case(self):
+        # 2 refs, 2 samples. Distances engineered so that each point's nearest
+        # neighbor is in its own set -> perfect 1-NNA (acc = 1).
+        mxx = np.array([[0.0, 1.0], [1.0, 0.0]])
+        myy = np.array([[0.0, 1.0], [1.0, 0.0]])
+        mxy = np.full((2, 2), 10.0)
+        res = knn(mxx, mxy, myy, k=1)
+        assert res["acc"] == 1.0
+        assert res["acc_t"] == pytest.approx(1.0)
+        assert res["acc_f"] == pytest.approx(1.0)
+
+    def test_fully_confused_case(self):
+        # nearest neighbor always in the other set -> acc = 0
+        mxx = np.full((2, 2), 10.0)
+        myy = np.full((2, 2), 10.0)
+        mxy = np.array([[1.0, 2.0], [2.0, 1.0]])
+        res = knn(mxx, mxy, myy, k=1)
+        assert res["acc"] == 0.0
+
+    def test_emits_schema_keys(self):
+        m = np.abs(np.random.RandomState(0).randn(4, 4))
+        res = knn(m, m + 1, m, k=1)
+        for key in ("acc", "acc_t", "acc_f", "precision", "recall"):
+            assert key in res
+
+
+class TestMmdCov:
+    def test_identical_sets(self, clouds):
+        smp, _ = clouds
+        mat = pairwise_CD(smp, smp, batch_size=3)
+        res = lgan_mmd_cov(mat)
+        assert res["mmd"] == pytest.approx(0.0, abs=1e-5)
+        assert res["cov"] == 1.0
+        assert "mmd_smp" in res
+
+    def test_cov_counts_unique_matches(self):
+        # both samples closest to ref 0 -> cov = 1/3
+        dist = np.array([[0.1, 5.0, 5.0], [0.2, 5.0, 5.0]])
+        res = lgan_mmd_cov(dist)
+        assert res["cov"] == pytest.approx(1 / 3)
+        assert res["mmd"] == pytest.approx((0.1 + 5.0 + 5.0) / 3)
+        assert res["mmd_smp"] == pytest.approx((0.1 + 0.2) / 2)
+
+
+class TestEntryPoints:
+    def test_compute_all_metrics_keys(self, clouds):
+        smp, ref = clouds
+        res = compute_all_metrics(smp[:4], ref[:4], batch_size=2,
+                                  verbose=False)
+        for key in ("mmd-CD", "cov-CD", "mmd_smp-CD", "mmd-EMD", "cov-EMD",
+                    "1-NN-CD-acc", "1-NN-CD-acc_t", "1-NN-CD-acc_f",
+                    "1-NN-EMD-acc"):
+            assert key in res, key
+
+    def test_compute_cd_metrics_keys(self, clouds):
+        smp, ref = clouds
+        res = compute_CD_metrics(smp, ref, batch_size=2, verbose=False)
+        for key in ("mmd-CD", "cov-CD", "mmd_smp-CD", "1-NN-CD-acc",
+                    "1-NN-CD-acc_t", "1-NN-CD-acc_f"):
+            assert key in res, key
+
+    def test_distinguishable_sets_have_high_1nna(self):
+        rng = np.random.RandomState(1)
+        ref = rng.randn(8, 32, 3).astype(np.float32)
+        smp = ref + 5.0  # far-away mode
+        res = compute_CD_metrics(smp, ref, batch_size=4, verbose=False)
+        assert res["1-NN-CD-acc"] == 1.0
+
+    def test_emd_cd_paired(self, clouds):
+        smp, _ = clouds
+        res = EMD_CD(smp, smp, batch_size=2)
+        assert res["mmd-CD"] == pytest.approx(0.0, abs=1e-5)
+        assert res["mmd-EMD"] == pytest.approx(0.0, abs=1e-3)
+
+
+class TestCompletionScores:
+    def test_f1_identical(self, clouds):
+        smp, _ = clouds
+        import jax.numpy as jnp
+        f, p1, p2 = F1Score(jnp.asarray(smp), jnp.asarray(smp))
+        np.testing.assert_allclose(np.asarray(f), 1.0)
+
+    def test_l2_chamfer_identical_zero(self, clouds):
+        smp, _ = clouds
+        import jax.numpy as jnp
+        v = L2_ChamferEval_1000(jnp.asarray(smp), jnp.asarray(smp))
+        # float32 expanded-form cancellation (~1e-7 per sq-dist) is amplified
+        # by the x1000 scale; anything below 1e-2 is numerically zero here.
+        assert float(v) == pytest.approx(0.0, abs=1e-2)
+
+
+class TestJSD:
+    def test_identical_sets_zero(self):
+        rng = np.random.RandomState(0)
+        pc = rng.randn(4, 64, 3).astype(np.float32)
+        pc /= np.abs(pc).max() * 2.1  # inside unit sphere
+        assert jsd_between_point_cloud_sets(pc, pc, resolution=12) == \
+            pytest.approx(0.0, abs=1e-9)
+
+    def test_disjoint_sets_positive(self):
+        a = np.full((2, 32, 3), -0.4, np.float32)
+        b = np.full((2, 32, 3), 0.4, np.float32)
+        assert jsd_between_point_cloud_sets(a, b, resolution=12) > 0.5
