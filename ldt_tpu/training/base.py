@@ -1,0 +1,59 @@
+"""Base trainer: counters, LR schedule, logging, checkpoint plumbing.
+
+Parity target: reference `trainer/base.py:17-61` (epoch/itr/time counters,
+linear warm-up, config-schema CSV logging, per-epoch checkpointing).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from ldt_tpu.parallel.mesh import data_mesh
+from ldt_tpu.tools.log import logger
+from ldt_tpu.training.state import make_lr_fn
+
+import jax
+
+
+class BaseTrainer:
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        self.logger = logger(cfg)
+        self.itr = 0
+        self.epoch = 1
+        self.time = 0.0
+        self.tmp = time.time()
+        self.mesh = mesh if mesh is not None else (
+            data_mesh() if jax.device_count() > 1 else None)
+        self.lr_fn = make_lr_fn(cfg.opt.lr, cfg.opt.warmup_iters,
+                                cfg.common.epochs)
+        self.base_lr = cfg.opt.lr  # mutable: NaN watchdog halves it
+
+    def updata_time(self):
+        """(sic) reference name, trainer/base.py:28-30."""
+        self.time = self.time + time.time() - self.tmp
+        self.tmp = time.time()
+
+    def current_lr(self) -> float:
+        """Warm-up + post-warm-up cosine, exactly the reference's imperative
+        LR dance (trainer/base.py:32-37 + train_Compressor.py:46-47) folded
+        into one function of (itr, epoch)."""
+        lr_fn = make_lr_fn(self.base_lr, self.cfg.opt.warmup_iters,
+                           self.cfg.common.epochs)
+        return lr_fn(self.itr, self.epoch)
+
+    def epoch_end(self):
+        if self.epoch % self.cfg.log.save_epoch_freq == 0:
+            self.save()
+        self.epoch += 1
+
+    def write_log(self, message, mode="train"):
+        self.logger.write(message, mode)
+
+    def info(self, message):
+        self.logger.info(message)
+
+    def save(self):  # implemented by concrete trainers
+        raise NotImplementedError

@@ -1,0 +1,236 @@
+"""Stage-1 trainer: the set-VAE Compressor.
+
+Parity target: reference `trainer/Compressor_Trainer.py` — loss =
+kl_weight * KL + (CD + EMD) (:43-52), Adam + grad-clip (:24-26,37-38),
+per-iter warm-up + per-epoch cosine (:27, base.py:32-37), `valsample`
+(sample + `.npy` dump + metrics, :61-100), `reconstrustion` with per-cloud
+denormalization (:102-161), CSV-driven resume (:163-189).
+
+TPU design: the whole update (VAE forward, chamfer + auction-EMD losses,
+backward, clip, Adam, BN-stat update) is ONE jitted XLA program; the batch is
+sharded over the `data` mesh when more than one device is visible (grad
+all-reduce inserted by XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldt_tpu.eval import compute_all_metrics
+from ldt_tpu.eval.loss import CD_loss, EMD_loss
+from ldt_tpu.models import Compressor
+from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.training.base import BaseTrainer
+from ldt_tpu.training.checkpoint import (
+    checkpoint_path,
+    latest_epoch_from_csv,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
+
+
+class Trainer(BaseTrainer):
+    def __init__(self, cfg, model: Compressor, rng: Optional[jax.Array] = None,
+                 mesh=None):
+        super().__init__(cfg, mesh=mesh)
+        self.num_points = cfg.data.tr_max_sample_points
+        self.kl_weight = cfg.opt.kl_weight
+        self.model = model
+        self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
+                                 cfg.opt.weight_decay,
+                                 cfg.opt.grad_norm_clip_value)
+        self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
+        self.state: Optional[TrainState] = None
+        self._build_steps()
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self):
+        model, tx, kl_weight = self.model, self.tx, self.kl_weight
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, pts, label, lr, rng):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, pts, label=label, train=True,
+                    rngs={"sample": rng}, mutable=["batch_stats"])
+                kl_loss = jnp.mean(jnp.concatenate(out["kls"], axis=1))
+                emd = EMD_loss(out["set"], pts)
+                cd = CD_loss(out["set"], pts)
+                rec_loss = cd + emd
+                loss = kl_weight * kl_loss + rec_loss
+                return loss, (kl_loss, rec_loss, out["max"],
+                              mutated.get("batch_stats"))
+
+            (loss, (kl_loss, rec_loss, max_f, new_bs)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            state = apply_update(state, grads, tx, lr, ema_decay=0.0,
+                                 new_batch_stats=new_bs)
+            return state, loss, kl_loss, rec_loss, max_f
+
+        self._train_step = train_step
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def sample_step(variables, rng, num_samples, num_points, given_eps):
+            return model.apply(variables, (num_samples, num_points), given_eps,
+                               method=Compressor.sample,
+                               rngs={"sample": rng})
+
+        self._sample_step = sample_step
+
+        @jax.jit
+        def encode_step(variables, pts, rng, label):
+            return model.apply(variables, pts, label=label,
+                               rngs={"sample": rng})
+
+        self._encode_step = encode_step
+
+    # ------------------------------------------------------------ lifecycle
+    def maybe_init(self, batch):
+        """Initialize params from the FIRST real batch so ActNorm's
+        data-dependent init sees true activations (the reference's
+        first-training-batch `data_init`, model/layers.py:74-79)."""
+        if self.state is not None:
+            return
+        pts = jnp.asarray(batch["tr_points"])
+        label = self._label_of(batch)
+        self.rng, init_rng, sample_rng = jax.random.split(self.rng, 3)
+        variables = self.model.init(
+            {"params": init_rng, "sample": sample_rng}, pts, label=label,
+            train=True)
+        self.state = TrainState.create(
+            variables["params"], self.tx,
+            batch_stats=variables.get("batch_stats"), ema=False)
+
+    def _label_of(self, batch):
+        if self.cfg.data.num_categorys > 1:
+            return jnp.asarray(batch["cate_idx"])
+        return None
+
+    def _variables(self, params=None):
+        v = {"params": params if params is not None else self.state.params}
+        if self.state.batch_stats is not None:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    # -------------------------------------------------------------- update
+    def update(self, data):
+        self.maybe_init(data)
+        pts = jnp.asarray(data["tr_points"])
+        label = self._label_of(data)
+        batch = shard_batch(self.mesh, (pts, label))
+        pts, label = batch
+        lr = self.current_lr()
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, loss, kl, rec, max_f = self._train_step(
+            self.state, pts, label, lr, step_rng)
+        self.itr += 1
+        return loss, kl, rec, max_f
+
+    # ------------------------------------------------------------ sampling
+    def sample(self, num_samples, num_points, given_eps=None):
+        self.rng, rng = jax.random.split(self.rng)
+        return self._sample_step(
+            {k: v for k, v in self._variables().items()}, rng,
+            int(num_samples), int(num_points), given_eps)
+
+    def encode(self, pts, label=None):
+        self.rng, rng = jax.random.split(self.rng)
+        return self._encode_step(self._variables(), jnp.asarray(pts), rng,
+                                 label)
+
+    def valsample(self, test_loader, sample_points, vis=False):
+        """Generate from the prior and score against the test refs
+        (trainer/Compressor_Trainer.py:61-100)."""
+        all_ref, all_rec = [], []
+        use_time = 0.0
+        for data in test_loader:
+            ref_pts = data["te_points"]
+            t0 = time.time()
+            rec = self.sample(ref_pts.shape[0], sample_points)
+            rec.block_until_ready()
+            use_time += time.time() - t0
+            all_rec.append(np.asarray(rec))
+            all_ref.append(ref_pts)
+        smp = np.concatenate(all_rec)
+        ref = np.concatenate(all_ref)
+        print("Sample rate: %.8f " % (smp.shape[0] / max(use_time, 1e-9)))
+        np.save(os.path.join(self.cfg.log.save_path,
+                             f"smp_ep{self.epoch}.npy"), smp)
+        gen_res = compute_all_metrics(smp, ref, batch_size=128)
+        all_res = {f"val/gen/{k}": float(v) for k, v in gen_res.items()}
+        print(f"Validation Sample (unit) Epoch:{self.epoch} ", gen_res)
+        return all_res
+
+    def reconstruction(self, test_loader, val_cate=0):
+        """Encode-decode the test split, denormalize, score
+        (trainer/Compressor_Trainer.py:102-161)."""
+        all_ref, all_rec = [], []
+        for data in test_loader:
+            if self.cfg.data.num_categorys == 1:
+                ref_pts = jnp.asarray(data["te_points"])
+                out = self.encode(ref_pts)
+                rec_pts = out["set"]
+                shift = jnp.asarray(data["shift"])
+                scale = jnp.asarray(data["scale"])
+                all_ref.append(np.asarray(ref_pts * scale + shift))
+                all_rec.append(np.asarray(rec_pts * scale + shift))
+            else:
+                idx = np.asarray(data["cate_idx"]) == val_cate
+                if not idx.any():
+                    continue
+                ref_pts = jnp.asarray(data["te_points"][idx])
+                label = jnp.asarray(data["cate_idx"][idx])
+                out = self.encode(ref_pts, label=label)
+                shift = jnp.asarray(data["shift"][idx])
+                scale = jnp.asarray(data["scale"][idx])
+                all_ref.append(np.asarray(ref_pts * scale + shift))
+                all_rec.append(np.asarray(out["set"] * scale + shift))
+        rec = np.concatenate(all_rec)
+        ref = np.concatenate(all_ref)
+        np.save(os.path.join(self.cfg.log.save_path,
+                             f"rec_ep{self.epoch}.npy"), rec)
+        gen_res = compute_all_metrics(rec, ref, batch_size=128)
+        all_res = {f"val/gen/{k}": float(v) for k, v in gen_res.items()}
+        print(f"Validation Sample (unit) Epoch:{self.epoch} ", gen_res)
+        return all_res
+
+    # keep the reference's public (misspelled) method name alive
+    reconstrustion = reconstruction
+
+    # --------------------------------------------------------- checkpoints
+    def save(self):
+        path = checkpoint_path(self.cfg.log.save_path, self.epoch)
+        save_checkpoint(path, {"state": self.state}, cfg=self.cfg,
+                        epoch=self.epoch, itr=self.itr, time=self.time)
+
+    def resume(self, epoch=None, finetune=False, strict=False,
+               load_optim=True):
+        """trainer/Compressor_Trainer.py:163-189 semantics."""
+        if epoch is None:
+            epoch = latest_epoch_from_csv(self.cfg.log.save_path)
+            assert epoch is not None, "no training.csv to resume from"
+        path = checkpoint_path(self.cfg.log.save_path, epoch)
+        ckpt = load_checkpoint(path)
+        assert self.state is not None, (
+            "call maybe_init(first_batch) before resume")
+        restored = restore_into({"state": self.state}, ckpt["state"])
+        new_state = restored["state"]
+        if not load_optim and not finetune:
+            new_state = new_state.replace(opt_state=self.state.opt_state)
+        self.state = new_state
+        if not finetune:
+            self.epoch = ckpt["epoch"] + 1
+            self.itr = ckpt["itr"]
+            self.time = ckpt["time"]

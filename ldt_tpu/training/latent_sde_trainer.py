@@ -1,0 +1,320 @@
+"""Stage-2 trainer: latent diffusion (Score net on frozen-Compressor latents).
+
+Parity target: reference `trainer/Latent_SDE_Trainer.py` —
+  * latents `eps = compressor(points)["all_eps"]` with no gradients (:102-104)
+  * eps-prediction loss, discrete-t (uniform index into
+    `linspace(1.0, sample_time_eps, train_N)`, :55,117-122) or continuous
+    importance-sampled t (:124-126), l1/l2 (:131-135)
+  * EMA(Adam) with decay 0.9999 (:42-43); sampling via the discrete PC
+    sampler or the ODE, then `compressor.sample` decode (:143-165)
+  * dual-net checkpoints (:228-239), `load_pretrain` from the stage-1
+    checkpoint (:269-273)
+
+TPU design: encode + diffuse + denoise-step + Adam + EMA is ONE jitted
+program; generation (1000-step reverse scan + set decode) is ONE jitted
+program — versus the reference's 1000 Python-level CUDA launches
+(diffusion_continuous.py:242-249) and host-driven scipy ODE.
+
+EMA note: we sample/eval with the EMA params (the intended LSGM discipline);
+see ldt_tpu/training/state.py for why the reference's double-swap actually
+samples with raw params.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldt_tpu.diffusion import make_diffusion
+from ldt_tpu.diffusion.sampling import sample_discrete, sample_model_ode
+from ldt_tpu.eval import compute_all_metrics
+from ldt_tpu.models import Compressor, Score
+from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.training.base import BaseTrainer
+from ldt_tpu.training.checkpoint import (
+    checkpoint_path,
+    latest_epoch_from_csv,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
+
+
+class Trainer(BaseTrainer):
+    def __init__(self, cfg, model: Score, compressor: Compressor,
+                 rng: Optional[jax.Array] = None, mesh=None):
+        super().__init__(cfg, mesh=mesh)
+        self.SDE = make_diffusion(cfg.sde)
+        self.sde_type = cfg.sde.sde_type
+        self.num_points = cfg.data.tr_max_sample_points
+        self.model = model
+        self.compressor = compressor
+        self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
+                                 cfg.opt.weight_decay,
+                                 cfg.opt.grad_norm_clip_value)
+        self.ema_decay = cfg.opt.ema_decay
+        self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
+
+        # sampling config
+        self.sample_time_eps = cfg.sde.sample_time_eps
+        self.sample_N = cfg.sde.sample_N
+        self.sample_mode = cfg.sde.sample_mode
+        self.ode_tol = cfg.sde.ode_tol
+        # training config
+        self.N = cfg.sde.train_N
+        self.discrete = cfg.opt.discrete
+        self.time_eps = cfg.sde.time_eps
+        # discrete-t table: linspace(1.0, sample_time_eps, train_N)
+        # (trainer/Latent_SDE_Trainer.py:55)
+        self.timesteps = jnp.linspace(1.0, self.sample_time_eps, self.N)
+
+        self.state: Optional[TrainState] = None
+        self.comp_vars = None  # {'params', 'batch_stats'} of the compressor
+        self._build_steps()
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self):
+        cfg, model, compressor = self.cfg, self.model, self.compressor
+        sde, tx = self.SDE, self.tx
+        timesteps, train_N = self.timesteps, self.N
+        loss_type = cfg.opt.loss_type
+        ema_decay = self.ema_decay
+        iw_mode = cfg.sde.iw_sample_p_mode
+        subvp_like = self.sde_type == "sub_vpsde"
+
+        def encode(comp_vars, pts, rng, label):
+            out = compressor.apply(comp_vars, pts, label=label,
+                                   rngs={"sample": rng})
+            return jax.lax.stop_gradient(out["all_eps"])
+
+        def score_loss(params, eps, t, var, e2int, weight, eta, label,
+                       condition, train, dropout_rng):
+            xt = eps * e2int + jnp.sqrt(var) * eta
+            rngs = {"dropout": dropout_rng} if train else None
+            params_pred = model.apply({"params": params}, xt, t, label,
+                                      condition, train=train, rngs=rngs)
+            if loss_type == "l1":
+                distance = jnp.abs(eta - params_pred)
+            else:
+                distance = jnp.square(eta - params_pred)
+            return jnp.mean(distance * weight)  # weight: [B,1,1] broadcast
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, comp_vars, pts, label, lr, rng):
+            k_enc, k_t, k_eta, k_drop = jax.random.split(rng, 4)
+            eps = encode(comp_vars, pts, k_enc, label)
+            size = eps.shape[0]
+            if self.discrete:
+                idx = jax.random.randint(k_t, (size,), 0, train_N)
+                t = timesteps[idx]
+                e2int = sde.e2int_f(t)[:, None, None]
+                var = sde.var(t)[:, None, None]
+                weight = jnp.ones((size, 1, 1))
+            else:
+                t, var_c, e2int_c, weight_c, _, _ = sde.iw_quantities(
+                    k_t, size, self.time_eps, iw_mode, subvp_like)
+                var = var_c[..., None]
+                e2int = e2int_c[..., None]
+                weight = weight_c[..., None]
+            eta = jax.random.normal(k_eta, eps.shape)
+
+            loss, grads = jax.value_and_grad(score_loss)(
+                state.params, eps, t, var, e2int, weight, eta, label, None,
+                True, k_drop)
+            state = apply_update(state, grads, tx, lr, ema_decay=ema_decay)
+            return state, loss
+
+        self._train_step = train_step
+
+        @jax.jit
+        def val_loss_step(state: TrainState, comp_vars, pts, label, rng):
+            """EMA-params validation loss (trainer/Latent_SDE_Trainer.py:63-92)."""
+            k_enc, k_t, k_eta = jax.random.split(rng, 3)
+            eps = encode(comp_vars, pts, k_enc, label)
+            size = eps.shape[0]
+            idx = jax.random.randint(k_t, (size,), 0, train_N)
+            t = timesteps[idx]
+            e2int = sde.e2int_f(t)[:, None, None]
+            var = sde.var(t)[:, None, None]
+            eta = jax.random.normal(k_eta, eps.shape)
+            return score_loss(state.eval_params(), eps, t, var, e2int,
+                              jnp.ones((size, 1, 1)), eta, label, None, False,
+                              rng)
+
+        self._val_loss_step = val_loss_step
+
+        z_shape = (cfg.score.z_scale, cfg.score.z_dim)
+        sde_cfg = cfg.sde
+
+        @functools.partial(jax.jit, static_argnums=(3, 4))
+        def sample_step(params, comp_vars, rng, num_samples, num_points,
+                        label, condition):
+            def score_fn(t, x):
+                p = model.apply({"params": params}, x, t, label, condition)
+                std = sde.std(t)[:, None, None]
+                return -p / std, p
+
+            k_sde, k_dec = jax.random.split(rng)
+            if self.sample_mode == "continuous":
+                eps, _ = sample_model_ode(
+                    sde, score_fn, k_sde, num_samples, z_shape,
+                    ode_eps=self.sample_time_eps,
+                    ode_solver_tol=self.ode_tol)
+            else:
+                eps = sample_discrete(
+                    sde, score_fn, k_sde, num_samples, z_shape,
+                    N=sde_cfg.sample_N, predictor=sde_cfg.predictor,
+                    corrector=sde_cfg.corrector,
+                    corrector_steps=sde_cfg.corrector_steps,
+                    time_eps=self.sample_time_eps,
+                    probability_flow=sde_cfg.probability_flow,
+                    denoise=sde_cfg.denoise, snr=sde_cfg.snr)
+            sample = compressor.apply(
+                comp_vars, (num_samples, num_points), eps,
+                method=Compressor.sample, rngs={"sample": k_dec})
+            return sample, eps
+
+        self._sample_step = sample_step
+
+    # ------------------------------------------------------------ lifecycle
+    def _label_of(self, batch):
+        if self.cfg.data.num_categorys > 1:
+            return jnp.asarray(batch["cate_idx"])
+        return None
+
+    def maybe_init(self, batch):
+        if self.state is not None:
+            return
+        b = min(2, batch["tr_points"].shape[0])
+        z = jnp.zeros((b, self.cfg.score.z_scale, self.cfg.score.z_dim))
+        t = jnp.ones((b,))
+        label = self._label_of(batch)
+        label = label[:b] if label is not None else None
+        self.rng, k = jax.random.split(self.rng)
+        variables = self.model.init(k, z, t, label)
+        self.state = TrainState.create(variables["params"], self.tx, ema=True)
+        if self.comp_vars is None:
+            # random compressor (tests / pretrain-less runs)
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            pts = jnp.asarray(batch["tr_points"][:b])
+            self.comp_vars = self.compressor.init(
+                {"params": k1, "sample": k2}, pts, label=label)
+
+    # -------------------------------------------------------------- update
+    def update(self, data, condition=None):
+        self.maybe_init(data)
+        pts = jnp.asarray(data["tr_points"])
+        label = self._label_of(data)
+        pts, label = shard_batch(self.mesh, (pts, label))
+        lr = self.current_lr()
+        self.rng, k = jax.random.split(self.rng)
+        self.state, loss = self._train_step(self.state, self.comp_vars, pts,
+                                            label, lr, k)
+        self.itr += 1
+        return loss
+
+    def val_loss(self, data, condition=None):
+        self.maybe_init(data)
+        pts = jnp.asarray(data["te_points"])
+        label = self._label_of(data)
+        self.rng, k = jax.random.split(self.rng)
+        return self._val_loss_step(self.state, self.comp_vars, pts, label, k)
+
+    # ------------------------------------------------------------ sampling
+    def sample(self, num_samples, num_points=None, label=None, condition=None):
+        self.rng, k = jax.random.split(self.rng)
+        sample, eps = self._sample_step(
+            self.state.eval_params(), self.comp_vars, k, int(num_samples),
+            int(self.num_points if num_points is None else num_points),
+            label, condition)
+        return sample, eps
+
+    def valsample(self, test_loader, val_cate=0, vis=False):
+        """trainer/Latent_SDE_Trainer.py:167-226."""
+        all_ref, all_smp = [], []
+        use_time = 0.0
+        if self.cfg.data.num_categorys == 1:
+            for data in test_loader:
+                ref_pts = data["te_points"]
+                t0 = time.time()
+                smp_pts, _ = self.sample(num_samples=ref_pts.shape[0])
+                smp_pts.block_until_ready()
+                use_time += time.time() - t0
+                all_smp.append(np.asarray(smp_pts))
+                all_ref.append(ref_pts)
+            smp = np.concatenate(all_smp)
+            ref = np.concatenate(all_ref)
+        else:
+            for data in test_loader:
+                idx = np.asarray(data["cate_idx"]) == val_cate
+                all_ref.append(data["te_points"][idx])
+            ref = np.concatenate(all_ref)
+            bsize = self.cfg.data.test_batch_size
+            t0 = time.time()
+            for _ in range(math.ceil(ref.shape[0] / bsize)):
+                cates = jnp.full((bsize,), val_cate, jnp.int32)
+                smp_pts, _ = self.sample(num_samples=bsize, label=cates)
+                all_smp.append(np.asarray(smp_pts))
+            use_time += time.time() - t0
+            smp = np.concatenate(all_smp)[: ref.shape[0]]
+        print("Sample rate: %.8f " % (smp.shape[0] / max(use_time, 1e-9)))
+        np.save(os.path.join(self.cfg.log.save_path,
+                             f"smp_ep{self.epoch}.npy"), smp)
+        gen_res = compute_all_metrics(smp, ref, batch_size=64)
+        all_res = {f"val/gen/{k}": float(v) for k, v in gen_res.items()}
+        print(f"Validation Sample (unit) Epoch:{self.epoch} ", gen_res)
+        return all_res
+
+    # --------------------------------------------------------- checkpoints
+    def save(self):
+        path = checkpoint_path(self.cfg.log.save_path, self.epoch)
+        save_checkpoint(path, {"score": self.state,
+                               "compressor": self.comp_vars},
+                        cfg=self.cfg, epoch=self.epoch, itr=self.itr,
+                        time=self.time)
+
+    def resume(self, epoch=None, strict=False, load_optim=True,
+               finetune=False, pretrain=None, **_):
+        """trainer/Latent_SDE_Trainer.py:241-267."""
+        if epoch is None and pretrain is None:
+            epoch = latest_epoch_from_csv(self.cfg.log.save_path)
+            assert epoch is not None, "no training.csv to resume from"
+        path = pretrain if pretrain is not None else checkpoint_path(
+            self.cfg.log.save_path, epoch)
+        ckpt = load_checkpoint(path)
+        assert self.state is not None, (
+            "call maybe_init(first_batch) before resume")
+        restored = restore_into(
+            {"score": self.state, "compressor": self.comp_vars},
+            ckpt["state"])
+        new_state = restored["score"]
+        if finetune or not load_optim:
+            new_state = new_state.replace(opt_state=self.state.opt_state)
+        self.state = new_state
+        self.comp_vars = restored["compressor"]
+        if finetune:
+            self.epoch, self.itr = 1, 0
+        else:
+            self.epoch = ckpt["epoch"] + 1
+            self.itr = ckpt["itr"]
+        self.time = ckpt["time"]
+
+    def load_pretrain(self):
+        """Bootstrap the frozen compressor from a stage-1 checkpoint
+        (trainer/Latent_SDE_Trainer.py:269-273)."""
+        ckpt = load_checkpoint(self.cfg.compressor.pretrain_path)
+        state = ckpt["state"]["state"]
+        comp_vars = {"params": state["params"]}
+        if state.get("batch_stats"):
+            comp_vars["batch_stats"] = state["batch_stats"]
+        if self.comp_vars is not None:
+            comp_vars = restore_into(self.comp_vars, comp_vars)
+        self.comp_vars = comp_vars

@@ -1,0 +1,111 @@
+"""Train state, optimizer factory, LR schedule, EMA.
+
+The reference couples these imperatively (torch Adam + an EMA optimizer
+wrapper holding shadow params in optimizer state, tools/utils.py:25-101, and
+per-iter warm-up + per-epoch cosine LR mutation, trainer/base.py:32-37 /
+train_Compressor.py:46-47). Here everything is an explicit pytree:
+
+  * `TrainState` carries (params, ema_params, opt_state, batch_stats, step);
+  * the optimizer is `clip_by_global_norm -> scale_by_adam`, with the
+    learning rate supplied per step as a traced scalar so the host-side
+    schedule logic (warm-up, cosine, NaN-watchdog halving) needs no
+    recompilation;
+  * EMA is a one-line pytree lerp after each update.
+
+EMA semantics note: the reference's double-swap discipline
+(trainer/Latent_SDE_Trainer.py:99-107 + tools/utils.py:80-101) nets out to
+gradient steps on the raw params with the EMA copy stored in optimizer state
+— but its `sample()` swap then samples with the *raw* params. We keep the
+clearly-intended semantics instead: train on `params`, sample/eval with
+`ema_params` (equal to params when ema_decay == 0).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    batch_stats: Any = None
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation,
+               batch_stats=None, ema: bool = True):
+        # ema starts as a distinct copy: params and ema_params must not alias
+        # the same buffers (the train step donates the whole state).
+        ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   ema_params=ema_params,
+                   opt_state=tx.init(params), batch_stats=batch_stats)
+
+    def eval_params(self):
+        """Parameters for sampling/eval: EMA when maintained."""
+        return self.ema_params if self.ema_params is not None else self.params
+
+
+def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
+                   weight_decay: float = 0.0,
+                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+    """clip -> adam direction (LR applied by the caller via `apply_updates_lr`).
+
+    Matches torch `Adam(lr, betas, weight_decay)` + `clip_grad_norm_`
+    (trainer/Compressor_Trainer.py:24-26,37-38): clipping runs on raw grads
+    before the Adam moments, like the reference's clip-then-step order.
+    """
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    return optax.chain(*parts)
+
+
+def apply_update(state: TrainState, grads, tx: optax.GradientTransformation,
+                 lr, ema_decay: float = 0.0,
+                 new_batch_stats=None) -> TrainState:
+    """One optimizer step with traced lr + EMA accumulation."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = jax.tree_util.tree_map(
+        lambda p, u: p - lr * u, state.params, updates)
+    if state.ema_params is not None and ema_decay > 0:
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params)
+    elif state.ema_params is not None:
+        # decay == 0: EMA trails params exactly; copy to avoid buffer aliasing
+        ema_params = jax.tree_util.tree_map(jnp.copy, params)
+    else:
+        ema_params = None
+    return state.replace(
+        step=state.step + 1, params=params, ema_params=ema_params,
+        opt_state=opt_state,
+        batch_stats=(new_batch_stats if new_batch_stats is not None
+                     else state.batch_stats))
+
+
+def make_lr_fn(base_lr: float, warmup_iters: int, epochs: int):
+    """Reference LR dynamics: per-iter linear warm-up (trainer/base.py:32-37)
+    then per-epoch cosine annealing to 0 (CosineAnnealingLR(T_max=epochs),
+    trainer/Compressor_Trainer.py:27), with the scheduler only engaged after
+    warm-up has elapsed (train_Compressor.py:46-47).
+
+    Returns lr(itr, epoch) -> float, evaluated host-side each step.
+    """
+
+    def lr_fn(itr: int, epoch: int) -> float:
+        if itr < warmup_iters:
+            return base_lr * min(float(itr + 1) / max(warmup_iters, 1), 1.0)
+        return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
+
+    return lr_fn

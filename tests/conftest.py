@@ -23,3 +23,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: identical jitted programs (e.g. train steps
+# built by different Trainer instances across tests) compile once per machine
+# instead of once per test.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ldt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,204 @@
+"""End-to-end trainer tests on synthetic data (tiny configs, CPU).
+
+Covers the reference's training-time integration-test role (SURVEY.md §4.5):
+stage-1 VAE steps, stage-2 score steps with EMA, sampling, checkpointing and
+resume.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldt_tpu.models import Compressor, Score
+from ldt_tpu.tools.io import dict2namespace
+from ldt_tpu.training import compressor_trainer, latent_sde_trainer
+from ldt_tpu.training.state import make_lr_fn
+
+
+N_PTS = 64
+BATCH = 4
+
+
+def make_cfg(tmp_path, **log_over):
+    model = dict(
+        outsize=N_PTS, max_outputs=N_PTS, input_dim=3, z_dim=4, z_scales=8,
+        p_dim=16, n_layers=2, hidden_dim=32, num_heads=2, activation="swish",
+        encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+        neighbors=8, encoder_layers=1, mlp_ratio=2.0, min_sigma=-30,
+        cluster_norm="anchor", norm_input=False, pre_group=False,
+        decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+        class_condition=False, num_categorys=1, pretrain_path=None,
+    )
+    cfg = dict(
+        data=dict(cates=["airplane"], num_categorys=1,
+                  tr_max_sample_points=N_PTS, te_max_sample_points=N_PTS,
+                  batch_size=BATCH, test_batch_size=BATCH, boundary=True,
+                  num_workers=0),
+        opt=dict(adj_lr="warm_up", warmup_iters=4, lr=1e-3, beta1=0.9,
+                 beta2=0.999, ema_decay=0.99, weight_decay=0.0,
+                 grad_norm_clip_value=1.0, kl_weight=1e-6, loss_type="l2",
+                 discrete=True),
+        log=dict(save_epoch_freq=1, save_path=str(tmp_path),
+                 traincolumns=["epoch", "itr", "loss", "time"],
+                 trainformat=[None, None, "{:.4f}", "{:.0f}"],
+                 evalcolumns=["epoch", "mmd-CD"],
+                 evalformat=[None, "{:.8f}"],
+                 log_epoch_freq=1, eval_epoch_freq=100),
+        common=dict(epochs=4, num_points=N_PTS, seed=0),
+        model=model,
+        compressor=model,
+        score=dict(num_steps=8, z_dim=8, z_scale=8, hidden_size=32,
+                   num_heads=4, num_blocks=2, num_categorys=1, t_dim=16,
+                   dropout=0.0, norm="layer_norm", learn_sigma=False,
+                   act="swish", unet=False, AdaLN=True, condition=False),
+        sde=dict(beta_start=0.1, beta_end=20.0, sde_type="vpsde",
+                 sigma2_0=0.0, iw_sample_p_mode="drop_all_iw",
+                 iw_sample_q_mode="drop_all_iw", time_eps=0.01,
+                 ode_tol=1e-4, sample_time_eps=1e-6, sample_mode="discrete",
+                 # sample_N must keep beta_end / N < 1 for the discrete
+                 # ancestral tables (diffusion_continuous.py:649-653)
+                 predictor="ancestral", corrector=None, train_N=8,
+                 sample_N=64, snr=0.01, corrector_steps=1, denoise=True,
+                 probability_flow=False, alpha=1.0),
+    )
+    return dict2namespace(cfg)
+
+
+def fake_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "tr_points": rng.randn(BATCH, N_PTS, 3).astype(np.float32),
+        "te_points": rng.randn(BATCH, N_PTS, 3).astype(np.float32),
+        "cate_idx": np.zeros((BATCH,), np.int32),
+        "shift": np.zeros((BATCH, 1, 3), np.float32),
+        "scale": np.ones((BATCH, 1, 1), np.float32),
+    }
+
+
+class TestLrSchedule:
+    def test_warmup_then_cosine(self):
+        lr_fn = make_lr_fn(1.0, warmup_iters=10, epochs=100)
+        assert lr_fn(0, 1) == pytest.approx(0.1)
+        assert lr_fn(9, 1) == pytest.approx(1.0)
+        assert lr_fn(50, 50) == pytest.approx(0.5, abs=1e-6)
+        assert lr_fn(50, 100) == pytest.approx(0.0, abs=1e-9)
+
+
+class TestCompressorTrainer:
+    @pytest.fixture()
+    def trainer(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        return compressor_trainer.Trainer(cfg, Compressor(cfg.model))
+
+    def test_update_decreases_loss(self, trainer):
+        batch = fake_batch()
+        losses = []
+        for i in range(5):
+            loss, kl, rec, max_f = trainer.update(batch)
+            losses.append(float(loss))
+            assert np.isfinite(losses[-1])
+        assert trainer.itr == 5
+        assert losses[-1] < losses[0]
+
+    def test_sample_shape(self, trainer):
+        trainer.maybe_init(fake_batch())
+        smp = trainer.sample(3, N_PTS)
+        assert smp.shape == (3, N_PTS, 3)
+
+    def test_save_resume_roundtrip(self, trainer, tmp_path):
+        batch = fake_batch()
+        trainer.update(batch)
+        trainer.update(batch)
+        trainer.epoch = 3
+        trainer.save()
+        p_before = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+
+        # a fresh trainer with different init resumes to identical params
+        cfg = trainer.cfg
+        t2 = compressor_trainer.Trainer(cfg, Compressor(cfg.model),
+                                        rng=jax.random.key(123))
+        t2.maybe_init(batch)
+        t2.resume(epoch=3)
+        p_after = jax.tree_util.tree_leaves(t2.state.params)[0]
+        np.testing.assert_allclose(np.asarray(p_before), np.asarray(p_after))
+        assert t2.epoch == 4
+        assert t2.itr == 2
+
+    def test_reconstruction_runs(self, trainer, tmp_path):
+        batch = fake_batch()
+        trainer.maybe_init(batch)
+        res = trainer.reconstruction([batch])
+        assert "val/gen/mmd-CD" in res
+
+
+class TestLatentSDETrainer:
+    @pytest.fixture()
+    def trainer(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        return latent_sde_trainer.Trainer(cfg, Score(cfg.score),
+                                          Compressor(cfg.compressor))
+
+    def test_update_and_ema(self, trainer):
+        batch = fake_batch()
+        for _ in range(3):
+            loss = trainer.update(batch)
+            assert np.isfinite(float(loss))
+        # EMA params must differ from raw params but stay close
+        p = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        e = jax.tree_util.tree_leaves(trainer.state.ema_params)[0]
+        assert not np.allclose(np.asarray(p), np.asarray(e))
+
+    def test_continuous_iw_update(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        cfg.opt.discrete = False
+        t = latent_sde_trainer.Trainer(cfg, Score(cfg.score),
+                                       Compressor(cfg.compressor))
+        loss = t.update(fake_batch())
+        assert np.isfinite(float(loss))
+
+    def test_val_loss(self, trainer):
+        batch = fake_batch()
+        trainer.update(batch)
+        assert np.isfinite(float(trainer.val_loss(batch)))
+
+    def test_sample_end_to_end(self, trainer):
+        trainer.maybe_init(fake_batch())
+        smp, eps = trainer.sample(num_samples=2)
+        assert smp.shape == (2, N_PTS, 3)
+        assert eps.shape == (2, 8, 8)
+        assert np.isfinite(np.asarray(smp)).all()
+
+    def test_pretrain_load(self, trainer, tmp_path):
+        # stage-1 checkpoint -> stage-2 load_pretrain
+        cfg = trainer.cfg
+        ct = compressor_trainer.Trainer(cfg, Compressor(cfg.model))
+        batch = fake_batch()
+        ct.update(batch)
+        ct.epoch = 1
+        ct.save()
+        cfg.compressor.pretrain_path = os.path.join(
+            cfg.log.save_path, "checkpt_1.msgpack")
+        trainer.maybe_init(batch)
+        trainer.load_pretrain()
+        want = jax.tree_util.tree_leaves(ct.state.params)[0]
+        got = jax.tree_util.tree_leaves(trainer.comp_vars["params"])[0]
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got))
+
+    def test_save_resume(self, trainer, tmp_path):
+        batch = fake_batch()
+        trainer.update(batch)
+        trainer.epoch = 2
+        trainer.save()
+        cfg = trainer.cfg
+        t2 = latent_sde_trainer.Trainer(cfg, Score(cfg.score),
+                                        Compressor(cfg.compressor),
+                                        rng=jax.random.key(77))
+        t2.maybe_init(batch)
+        t2.resume(epoch=2)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]))
+        assert t2.epoch == 3
