@@ -1,0 +1,95 @@
+"""Headline benchmark: full 2048-point cloud generation rate on one chip.
+
+Pipeline measured = the reference's `valsample` hot path
+(trainer/Latent_SDE_Trainer.py:143-165): 1000-step ancestral reverse
+diffusion with the 457M-param latent DiT (hidden 1024, 24 blocks, bf16
+matmuls) + set-VAE decode of 32x120 latents to [B, 2048, 3] — all compiled
+into two XLA programs (one lax.scan sampler + decode).
+
+Prints ONE JSON line:
+  {"metric": "gen_2048pt_clouds_per_min_per_chip", "value": N,
+   "unit": "clouds/min/chip", "vs_baseline": N / 300.0}
+(300 clouds/min/chip is the BASELINE.json north-star target.)
+
+Env overrides: LDT_BENCH_BATCH (default 64), LDT_BENCH_STEPS (default 1000),
+LDT_BENCH_REPS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from ldt_tpu.configs import compressor_cfg, score_cfg, sde_cfg
+    from ldt_tpu.diffusion import make_diffusion
+    from ldt_tpu.diffusion.sampling import sample_discrete
+    from ldt_tpu.models import Compressor, Score
+
+    on_cpu = jax.default_backend() == "cpu"
+    batch = int(os.environ.get("LDT_BENCH_BATCH", 4 if on_cpu else 64))
+    steps = int(os.environ.get("LDT_BENCH_STEPS", 50 if on_cpu else 1000))
+    reps = int(os.environ.get("LDT_BENCH_REPS", 1 if on_cpu else 3))
+    num_points = 2048
+
+    scfg = score_cfg()
+    ccfg = compressor_cfg()
+    sde = make_diffusion(sde_cfg(sample_N=steps))
+
+    score = Score(scfg, dtype=jnp.bfloat16)
+    compressor = Compressor(ccfg, dtype=jnp.bfloat16)
+
+    rng = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    z = jnp.zeros((2, scfg.z_scale, scfg.z_dim))
+    score_params = score.init(k1, z, jnp.ones((2,)))["params"]
+    comp_vars = compressor.init(
+        {"params": k2, "sample": k3}, jnp.zeros((2, num_points, 3)))
+
+    def make_score_fn(params):
+        def score_fn(t, x):
+            p = score.apply({"params": params}, x, t)
+            std = sde.std(t)[:, None, None]
+            return -p.astype(jnp.float32) / std, p
+        return score_fn
+
+    @jax.jit
+    def generate(score_params, comp_vars, rng):
+        k_sde, k_dec = jax.random.split(rng)
+        eps = sample_discrete(
+            sde, make_score_fn(score_params), k_sde, batch,
+            (scfg.z_scale, scfg.z_dim), N=steps, predictor="ancestral",
+            time_eps=1e-6, denoise=True)
+        return compressor.apply(comp_vars, (batch, num_points), eps,
+                                method=Compressor.sample,
+                                rngs={"sample": k_dec})
+
+    # warm-up / compile
+    out = generate(score_params, comp_vars, jax.random.key(1))
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = generate(score_params, comp_vars, jax.random.key(2 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = batch * reps / dt
+    # normalize partial-step runs to the full 1000-step pipeline
+    clouds_per_min = clouds_per_sec * 60.0 * (steps / 1000.0)
+    result = {
+        "metric": "gen_2048pt_clouds_per_min_per_chip",
+        "value": round(clouds_per_min, 2),
+        "unit": "clouds/min/chip",
+        "vs_baseline": round(clouds_per_min / 300.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
