@@ -1,0 +1,223 @@
+"""Stage-3 trainer: joint (Hybrid) finetuning of Compressor + Score.
+
+Parity target: reference `trainer/Hybrid_Trainer.py` —
+  * `clc_compressor` (:115-160): compressor loss = (CD + EMD) + alpha * KL,
+    with KL = mean(logqz - logpz), logqz from the VAE posterior and
+    logpz = -(||eta - score(xt,t)||^2 * weight_q + cross_entropy_const) the
+    diffusion-prior likelihood; gradients flow through the (frozen-in-this-
+    term) score net into the compressor.
+  * separate score step on detached latents (:88-113) with EMA(Adam).
+  * alpha/10 during the compressor warm-up epochs (:149-153).
+  * separate Adam for the compressor with its own betas (:58-60).
+
+The reference discards the score grads produced by clc_compressor
+(zero_grad-then-step, :157-159); here the score gradient is simply never
+taken in the compressor loss — same effect, no wasted backward.
+
+TPU design: both updates fuse into one jitted program per step.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldt_tpu.diffusion import make_diffusion
+from ldt_tpu.eval import compute_all_metrics
+from ldt_tpu.eval.loss import CD_loss, EMD_loss
+from ldt_tpu.models import Compressor, Score
+from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.training.base import BaseTrainer
+from ldt_tpu.training.checkpoint import (
+    checkpoint_path,
+    latest_epoch_from_csv,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+from ldt_tpu.training.latent_sde_trainer import Trainer as LatentSDETrainer
+from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
+
+
+class Trainer(LatentSDETrainer):
+    """Extends the stage-2 trainer with the joint compressor update."""
+
+    def __init__(self, cfg, model: Score, compressor: Compressor,
+                 rng: Optional[jax.Array] = None, mesh=None):
+        super().__init__(cfg, model, compressor, rng=rng, mesh=mesh)
+        self.alpha = cfg.opt.alpha
+        self.compressor_warmup = cfg.opt.compressor_warmup
+        self.comp_tx = make_optimizer(cfg.opt.compressor_beta1,
+                                      cfg.opt.compressor_beta2,
+                                      cfg.opt.weight_decay,
+                                      cfg.opt.grad_norm_clip_value)
+        self.comp_state: Optional[TrainState] = None
+        self._build_hybrid_step()
+
+    def _build_hybrid_step(self):
+        cfg, score, compressor = self.cfg, self.model, self.compressor
+        sde = self.SDE
+        timesteps, train_N = self.timesteps, self.N
+        comp_tx, tx = self.comp_tx, self.tx
+        ema_decay = self.ema_decay
+        loss_type = cfg.opt.loss_type
+        iw_q = cfg.sde.iw_sample_q_mode
+        subvp_like = self.sde_type == "sub_vpsde"
+        time_eps = self.time_eps
+
+        def diffuse_quantities(k, size):
+            if self.discrete:
+                idx = jax.random.randint(k, (size,), 0, train_N)
+                t = timesteps[idx]
+                e2int = sde.e2int_f(t)[:, None, None]
+                var = sde.var(t)[:, None, None]
+                weight_q = sde.g2(t)[:, None, None] / (2 * var)
+            else:
+                t, var_c, e2int_c, weight_c, _, _ = sde.iw_quantities(
+                    k, size, time_eps, iw_q, subvp_like)
+                var, e2int, weight_q = (var_c[..., None], e2int_c[..., None],
+                                        weight_c[..., None])
+            return t, var, e2int, weight_q
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def hybrid_step(comp_state: TrainState, state: TrainState, pts, label,
+                        lr, comp_lr, alpha, rng):
+            k_s, k_t1, k_eta1, k_t2, k_eta2 = jax.random.split(rng, 5)
+            size = pts.shape[0]
+            t, var, e2int, weight_q = diffuse_quantities(k_t1, size)
+            eta = jax.random.normal(
+                k_eta1, (size, cfg.score.z_scale, cfg.score.z_dim))
+            ce_const = 0.5 * (1.0 + jnp.log(
+                2.0 * jnp.pi * sde.var(jnp.asarray(time_eps))))
+
+            def comp_loss_fn(c_params):
+                variables = {"params": c_params}
+                if comp_state.batch_stats is not None:
+                    variables["batch_stats"] = comp_state.batch_stats
+                out, mutated = compressor.apply(
+                    variables, pts, label=label, train=True,
+                    rngs={"sample": k_s}, mutable=["batch_stats"])
+                recon = out["set"]
+                logqz = jnp.concatenate(out["all_logqz"], axis=-1)
+                eps = out["all_eps"]
+                xt = eps * e2int + jnp.sqrt(var) * eta
+                # score params held fixed in this term (the reference throws
+                # its score grads away, Hybrid_Trainer.py:157-159)
+                pred = score.apply(
+                    {"params": jax.lax.stop_gradient(state.params)}, xt, t,
+                    label, None)
+                distance = jnp.square(eta - pred)
+                logpz = -(distance * weight_q + ce_const)
+                kl_loss = jnp.mean(logqz - logpz)
+                rec_loss = CD_loss(recon, pts) + EMD_loss(recon, pts)
+                comp_loss = rec_loss + kl_loss * alpha
+                return comp_loss, (kl_loss, rec_loss, eps,
+                                   mutated.get("batch_stats"))
+
+            (c_loss, (kl_loss, rec_loss, eps, new_bs)), c_grads = \
+                jax.value_and_grad(comp_loss_fn, has_aux=True)(
+                    comp_state.params)
+            comp_state = apply_update(comp_state, c_grads, comp_tx, comp_lr,
+                                      ema_decay=0.0, new_batch_stats=new_bs)
+
+            # --- score step on detached latents (Hybrid_Trainer.py:88-113)
+            eps = jax.lax.stop_gradient(eps)
+            t2, var2, e2int2, _ = diffuse_quantities(k_t2, size)
+            eta2 = jax.random.normal(k_eta2, eps.shape)
+
+            def score_loss_fn(s_params):
+                xt2 = eps * e2int2 + jnp.sqrt(var2) * eta2
+                pred2 = score.apply({"params": s_params}, xt2, t2, label, None)
+                if loss_type == "l1":
+                    d = jnp.abs(eta2 - pred2)
+                else:
+                    d = jnp.square(eta2 - pred2)
+                return jnp.mean(d)
+
+            s_loss, s_grads = jax.value_and_grad(score_loss_fn)(state.params)
+            state = apply_update(state, s_grads, tx, lr, ema_decay=ema_decay)
+            return comp_state, state, s_loss, kl_loss, rec_loss
+
+        self._hybrid_step = hybrid_step
+
+    # ------------------------------------------------------------ lifecycle
+    def maybe_init(self, batch):
+        super().maybe_init(batch)
+        if self.comp_state is None:
+            self.comp_state = TrainState.create(
+                self.comp_vars["params"], self.comp_tx,
+                batch_stats=self.comp_vars.get("batch_stats"), ema=False)
+
+    def _sync_comp_vars(self):
+        """Refresh the decode-path variables from the trained state."""
+        self.comp_vars = {"params": self.comp_state.params}
+        if self.comp_state.batch_stats is not None:
+            self.comp_vars["batch_stats"] = self.comp_state.batch_stats
+
+    # -------------------------------------------------------------- update
+    def update(self, data, condition=None, train_individual=True):
+        self.maybe_init(data)
+        pts = jnp.asarray(data["tr_points"])
+        label = self._label_of(data)
+        pts, label = shard_batch(self.mesh, (pts, label))
+        lr = self.current_lr()
+        # alpha warm-up (Hybrid_Trainer.py:149-153)
+        alpha = (self.alpha / 10.0 if self.epoch < self.compressor_warmup
+                 else self.alpha)
+        self.rng, k = jax.random.split(self.rng)
+        (self.comp_state, self.state, loss_score, kl, rec) = \
+            self._hybrid_step(self.comp_state, self.state, pts, label, lr,
+                              lr, alpha, k)
+        self._sync_comp_vars()
+        self.itr += 1
+        return loss_score, kl, rec
+
+    # --------------------------------------------------------- checkpoints
+    def save(self):
+        """Both nets + both optimizers (Hybrid_Trainer.py:310-323)."""
+        path = checkpoint_path(self.cfg.log.save_path, self.epoch)
+        save_checkpoint(path, {"score": self.state,
+                               "compressor_state": self.comp_state},
+                        cfg=self.cfg, epoch=self.epoch, itr=self.itr,
+                        time=self.time)
+
+    def resume(self, epoch=None, strict=False, load_optim=True,
+               finetune=False, pretrain=None, **_):
+        if epoch is None and pretrain is None:
+            epoch = latest_epoch_from_csv(self.cfg.log.save_path)
+            assert epoch is not None, "no training.csv to resume from"
+        path = pretrain if pretrain is not None else checkpoint_path(
+            self.cfg.log.save_path, epoch)
+        ckpt = load_checkpoint(path)
+        assert self.state is not None and self.comp_state is not None
+        restored = restore_into(
+            {"score": self.state, "compressor_state": self.comp_state},
+            ckpt["state"])
+        self.state = restored["score"]
+        self.comp_state = restored["compressor_state"]
+        self._sync_comp_vars()
+        if finetune:
+            self.epoch, self.itr = 1, 0
+        else:
+            self.epoch = ckpt["epoch"] + 1
+            self.itr = ckpt["itr"]
+        self.time = ckpt["time"]
+
+    def load_pretrain(self):
+        """Bootstrap from a stage-2 dual checkpoint (cfg.opt.pretrain_path)."""
+        ckpt = load_checkpoint(self.cfg.opt.pretrain_path)
+        state = ckpt["state"]
+        if "score" in state:
+            self.state = restore_into(self.state, state["score"])
+            comp = state.get("compressor")
+            if comp is not None:
+                self.comp_vars = restore_into(self.comp_vars, comp)
+                self.comp_state = TrainState.create(
+                    self.comp_vars["params"], self.comp_tx,
+                    batch_stats=self.comp_vars.get("batch_stats"), ema=False)

@@ -1,0 +1,71 @@
+"""Stage-3 entry: joint (Hybrid) finetune of Compressor + Score.
+
+Parity target: reference `train_Hybrid.py` — per-step joint update
+returning (loss_score, kl, rec), CSV log schema
+["epoch","itr","loss_score","kl","rec","time"], periodic valsample.
+"""
+
+from __future__ import annotations
+
+from ldt_tpu.cli import get_config, get_parser, progress
+from ldt_tpu.data import get_data_loaders
+from ldt_tpu.models import Compressor, Score
+from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.training.hybrid_trainer import Trainer
+
+
+def main(args, cfg):
+    rng = common_init(cfg.common.seed)
+    model = Score(cfg.score)
+    compressor = Compressor(cfg.compressor)
+    loaders = get_data_loaders(cfg.data, args)
+    train_loader = loaders["train_loader"]
+    test_loader = loaders["test_loader"]
+
+    trainer = Trainer(cfg, model=model, compressor=compressor, rng=rng)
+    trainer.info(vars(args))
+
+    trainer.maybe_init(next(iter(train_loader)))
+    if args.resume:
+        trainer.resume(epoch=args.resume_epoch, strict=args.strict,
+                       load_optim=args.load_optimizer, finetune=args.finetune)
+    elif getattr(cfg.opt, "pretrain_path", None):
+        trainer.load_pretrain()
+
+    meters = {k: AverageMeter() for k in ("loss_score", "kl", "rec")}
+    if not args.evaluate:
+        for epoch in range(trainer.epoch, cfg.common.epochs + 1):
+            tbar = progress(train_loader, desc=f"Epoch {epoch}")
+            for data in tbar:
+                loss_score, kl, rec = trainer.update(data)
+                meters["loss_score"].update(loss_score)
+                meters["kl"].update(kl)
+                meters["rec"].update(rec)
+            trainer.epoch_end()
+            if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:
+                trainer.updata_time()
+                trainer.write_log(
+                    [epoch, trainer.itr, meters["loss_score"].avg,
+                     meters["kl"].avg, meters["rec"].avg, trainer.time],
+                    mode="train")
+                for m in meters.values():
+                    m.reset()
+            if (trainer.epoch - 1) % cfg.log.eval_epoch_freq == 0:
+                all_res = trainer.valsample(test_loader=test_loader)
+                trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
+                try:
+                    trainer.write_log(
+                        [trainer.epoch - 1] + list(all_res.values()),
+                        mode="eval")
+                except Exception:
+                    print("write log failed")
+    else:
+        all_res = trainer.valsample(test_loader=test_loader)
+        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
+                          mode="eval")
+
+
+if __name__ == "__main__":
+    args = get_parser("Hybrid_Trainer", "LDT-TPU hybrid finetune").parse_args()
+    cfg = get_config(args)
+    main(args, cfg)

@@ -1,0 +1,71 @@
+"""Stage-2 entry: train the latent DiT on frozen-Compressor latents.
+
+Parity target: reference `train_Latent_Diffusion.py` — builds Score +
+Compressor (:17-18), `load_pretrain` when not resuming (:36), per-epoch CSV
+log + periodic `valsample` full-metric eval (:52-70).
+"""
+
+from __future__ import annotations
+
+from ldt_tpu.cli import get_config, get_parser, progress
+from ldt_tpu.data import get_data_loaders
+from ldt_tpu.models import Compressor, Score
+from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.training.latent_sde_trainer import Trainer
+
+
+def main(args, cfg):
+    rng = common_init(cfg.common.seed)
+    model = Score(cfg.score)
+    compressor = Compressor(cfg.compressor)
+    loaders = get_data_loaders(cfg.data, args)
+    train_loader = loaders["train_loader"]
+    test_loader = loaders["test_loader"]
+
+    trainer = Trainer(cfg, model=model, compressor=compressor, rng=rng)
+    trainer.info(vars(args))
+
+    trainer.maybe_init(next(iter(train_loader)))
+    if args.resume:
+        trainer.resume(epoch=args.resume_epoch, strict=args.strict,
+                       load_optim=args.load_optimizer, finetune=args.finetune)
+    else:
+        trainer.load_pretrain()
+
+    loss_meter = AverageMeter()
+    if not args.evaluate:
+        for epoch in range(trainer.epoch, cfg.common.epochs + 1):
+            tbar = progress(train_loader, desc=f"Epoch {epoch}")
+            for data in tbar:
+                loss = trainer.update(data)
+                loss_meter.update(loss)
+            trainer.epoch_end()
+            if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:
+                trainer.updata_time()
+                trainer.write_log([epoch, trainer.itr, loss_meter.avg,
+                                   trainer.time], mode="train")
+                loss_meter.reset()
+            if (trainer.epoch - 1) % cfg.log.eval_epoch_freq == 0:
+                all_res = trainer.valsample(test_loader=test_loader)
+                trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
+                try:
+                    trainer.write_log(
+                        [trainer.epoch - 1] + list(all_res.values()),
+                        mode="eval")
+                except Exception:
+                    print("write log failed")
+                trainer.updata_time()
+                trainer.write_log([trainer.epoch, trainer.itr,
+                                   loss_meter.avg, trainer.time], mode="test")
+                loss_meter.reset()
+    else:
+        all_res = trainer.valsample(test_loader=test_loader)
+        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
+                          mode="eval")
+
+
+if __name__ == "__main__":
+    args = get_parser("Latent_Diffusion_Trainer",
+                      "LDT-TPU latent diffusion").parse_args()
+    cfg = get_config(args)
+    main(args, cfg)
