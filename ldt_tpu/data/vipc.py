@@ -1,0 +1,205 @@
+"""ShapeNet-ViPC completion dataset (view image, GT cloud, partial cloud).
+
+Torch-free re-implementation of reference `datasets/ViPC.py`:
+  * file-list parsing with per-category filtering (:75-90)
+  * optional full-RAM preload of the 24 views/GT per model (:98-145)
+  * random view selection per fetch (:190-205)
+  * view-metadata-driven rotation alignment of the partial cloud to the
+    image view (:262-274)
+  * joint normalization by the GT centroid / max radius (:276-283)
+  * partial-cloud pad-repeat to `pc_input_num` (=3500) (:256-258)
+
+Images are decoded with PIL to channels-last float arrays in [0, 1]
+(224x224x3), the native layout for flax convs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import random
+from typing import Dict
+
+import numpy as np
+
+from ldt_tpu.data.loader import DataLoader
+
+CAT_MAP = {
+    "plane": "02691156", "bench": "02828884", "cabinet": "02933112",
+    "car": "02958343", "chair": "03001627", "monitor": "03211117",
+    "lamp": "03636649", "speaker": "03691459", "firearm": "04090263",
+    "couch": "04256520", "table": "04379243", "cellphone": "04401088",
+    "watercraft": "04530566",
+}
+
+
+def rotation_x(pts, theta):
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    return pts @ m.T
+
+
+def rotation_y(pts, theta):
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+    return pts @ m.T
+
+
+def rotation_z(pts, theta):
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return pts @ m.T
+
+
+def _load_image(path: str) -> np.ndarray:
+    """PNG -> [224, 224, 3] float32 in [0,1] (torchvision Resize(224)+ToTensor
+    equivalent, channels-last)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    w, h = img.size
+    short = min(w, h)
+    img = img.resize((max(1, round(w * 224 / short)),
+                      max(1, round(h * 224 / short))), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr[..., :3]
+
+
+def _load_dat(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return pickle.load(f).astype(np.float32)
+
+
+class ViPCDataLoader:
+    """Map-style dataset of {views, pc, pc_part} dicts."""
+
+    def __init__(self, filepath, data_path, status, pc_input_num=3500,
+                 view_align=False, category="all", preload=True):
+        self.pc_input_num = pc_input_num
+        self.status = status
+        self.view_align = view_align
+        self.category = category
+        self.imcomplete_path = os.path.join(data_path, "ShapeNetViPC-Partial")
+        self.gt_path = os.path.join(data_path, "ShapeNetViPC-GT")
+        self.rendering_path = os.path.join(data_path, "ShapeNetViPC-View")
+        with open(filepath, "r") as f:
+            filelist = [line for line in f if line.strip()]
+        self.cat, self.key = [], []
+        for key in filelist:
+            if category != "all" and key.split(";")[0] != CAT_MAP[category]:
+                continue
+            self.cat.append(key.split(";")[0])
+            self.key.append(key)
+        print(f"{status} data num: {len(self.key)}")
+        self.preload = preload
+        if preload:
+            self.all_pc_gt: Dict[str, list] = {}
+            self.all_pc_view: Dict[str, list] = {}
+            for key in self.key:
+                file_name = key.split(";")[1]
+                if file_name in self.all_pc_gt:
+                    continue
+                self.all_pc_gt[file_name] = []
+                self.all_pc_view[file_name] = []
+                for i in range(24):
+                    ran_key = key[:-3] + str(i).rjust(2, "0")
+                    synset, mid, view = self._split(ran_key)
+                    pc_path = os.path.join(self.gt_path, synset, mid,
+                                           view + ".dat")
+                    view_path = os.path.join(self.rendering_path, synset, mid,
+                                             "rendering", view + ".png")
+                    if os.path.exists(view_path):
+                        self.all_pc_view[file_name].append(
+                            _load_image(view_path))
+                    if os.path.exists(pc_path):
+                        self.all_pc_gt[file_name].append(_load_dat(pc_path))
+                    else:
+                        print(pc_path + " missing")
+
+    @staticmethod
+    def _split(key):
+        parts = key.replace("\n", "").split(";")
+        synset, mid, view = parts[0], parts[1], parts[-1]
+        if len(view) > 3:  # malformed lines (reference :124-136)
+            mid, view = view[:-2], view[-2:]
+        return synset, mid, view
+
+    def __len__(self):
+        return len(self.key)
+
+    def __getitem__(self, idx):
+        key = self.key[idx]
+        synset, mid, view = self._split(key)
+        pc_part_path = os.path.join(self.imcomplete_path, synset, mid,
+                                    view + ".dat")
+        if self.preload:
+            if self.view_align:
+                raise NotImplementedError
+            file_name = key.split(";")[1]
+            n_views = len(self.all_pc_gt[file_name])
+            ran = random.randint(0, 23) % max(n_views, 1)
+            pc = self.all_pc_gt[file_name][ran]
+            views = self.all_pc_view[file_name][ran]
+            image_view_id = str(ran).rjust(2, "0")
+        else:
+            ran_key = key if self.view_align else \
+                key[:-3] + str(random.randint(0, 23)).rjust(2, "0")
+            s2, m2, v2 = self._split(ran_key)
+            pc = _load_dat(os.path.join(self.gt_path, s2, m2, v2 + ".dat"))
+            views = _load_image(os.path.join(self.rendering_path, s2, m2,
+                                             "rendering", v2 + ".png"))
+            image_view_id = v2
+        pc_part = _load_dat(pc_part_path)
+
+        # pad-repeat short partial clouds (reference :256-258)
+        if pc_part.shape[0] < self.pc_input_num:
+            pc_part = np.repeat(
+                pc_part, (self.pc_input_num // pc_part.shape[0]) + 1,
+                axis=0)[: self.pc_input_num]
+        else:
+            pc_part = pc_part[: self.pc_input_num]
+
+        # rotation alignment via the rendering metadata (reference :261-274)
+        meta_path = os.path.join(self.rendering_path, synset, mid,
+                                 "rendering_metadata.txt")
+        view_metadata = np.loadtxt(meta_path)
+        theta_part = math.radians(view_metadata[int(view), 0])
+        phi_part = math.radians(view_metadata[int(view), 1])
+        theta_img = math.radians(view_metadata[int(image_view_id), 0])
+        phi_img = math.radians(view_metadata[int(image_view_id), 1])
+        pc_part = rotation_y(rotation_x(pc_part, -phi_part),
+                             np.pi + theta_part)
+        pc_part = rotation_x(rotation_y(pc_part, np.pi - theta_img), phi_img)
+
+        # joint normalization by GT centroid / max radius (reference :276-283)
+        gt_mean = pc.mean(axis=0)
+        pc = pc - gt_mean
+        pc_l_max = np.max(np.sqrt(np.sum(np.abs(pc ** 2), axis=-1)))
+        pc = pc / pc_l_max
+        pc_part = (pc_part - gt_mean) / pc_l_max
+        return {
+            "views": views.astype(np.float32),
+            "pc": pc.astype(np.float32),
+            "pc_part": pc_part.astype(np.float32),
+        }
+
+
+def get_data_loaders(cfg):
+    """reference datasets/ViPC.py:293-311 contract."""
+    tr_dataset = ViPCDataLoader(
+        getattr(cfg, "train_list", "datasets/ViPC/train_list2.txt"),
+        cfg.data_dir, status="train", category=cfg.train_cate,
+        preload=cfg.train_preload)
+    te_dataset = ViPCDataLoader(
+        getattr(cfg, "test_list", "datasets/ViPC/test_list2.txt"),
+        cfg.data_dir, status="test", category=cfg.test_cate,
+        preload=cfg.test_preload)
+    train_loader = DataLoader(tr_dataset, batch_size=cfg.batch_size,
+                              shuffle=True, drop_last=False,
+                              seed=getattr(cfg, "seed", 0))
+    test_loader = DataLoader(te_dataset, batch_size=cfg.test_batch_size,
+                             shuffle=False, drop_last=False)
+    return {"train_loader": train_loader, "test_loader": test_loader}

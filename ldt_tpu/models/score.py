@@ -152,6 +152,12 @@ class Score(nn.Module):
         self.ln_out = FinalLayer(cfg.z_dim, dim_c=cfg.t_dim, norm=cfg.norm,
                                  dtype=self.dtype)
 
+    def encode_condition(self, condition: dict, *, train: bool = False):
+        """Pre-encode a {'img','pts'} condition once (the reference encodes
+        once per sampling run, completion_trainer/Latent_SDE_Trainer.py:150-151,
+        not once per denoise step)."""
+        return self.c_net(condition, train=train)
+
     def __call__(self, x: jax.Array, t: jax.Array,
                  label: Optional[jax.Array] = None,
                  condition: Optional[Any] = None, *,
