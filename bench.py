@@ -35,6 +35,7 @@ def main():
     batch = int(os.environ.get("LDT_BENCH_BATCH", 4 if on_cpu else 64))
     steps = int(os.environ.get("LDT_BENCH_STEPS", 50 if on_cpu else 1000))
     reps = int(os.environ.get("LDT_BENCH_REPS", 1 if on_cpu else 3))
+    unroll = int(os.environ.get("LDT_BENCH_UNROLL", 1))
     num_points = 2048
 
     scfg = score_cfg()
@@ -64,7 +65,7 @@ def main():
         eps = sample_discrete(
             sde, make_score_fn(score_params), k_sde, batch,
             (scfg.z_scale, scfg.z_dim), N=steps, predictor="ancestral",
-            time_eps=1e-6, denoise=True)
+            time_eps=1e-6, denoise=True, unroll=unroll)
         return compressor.apply(comp_vars, (batch, num_points), eps,
                                 method=Compressor.sample,
                                 rngs={"sample": k_dec})

@@ -51,6 +51,7 @@ def sample_discrete(
     probability_flow: bool = False,
     denoise: bool = True,
     snr: float = 0.01,
+    unroll: int = 1,
 ) -> jax.Array:
     """Reverse-SDE predictor-corrector sampling (diffusion_continuous.py:133-338).
 
@@ -174,7 +175,8 @@ def sample_discrete(
             x, x_mean = corr_fn(x, t, k2)
         return (x, x_mean, step_rng), None
 
-    (x, x_mean, _), _ = lax.scan(body, (x0, x0, rng), timesteps)
+    (x, x_mean, _), _ = lax.scan(body, (x0, x0, rng), timesteps,
+                                 unroll=unroll)
     # `denoise` returns the noise-free mean of the final step
     # (diffusion_continuous.py:258).
     return x_mean if denoise else x

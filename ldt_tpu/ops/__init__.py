@@ -11,6 +11,14 @@ from ldt_tpu.ops.emd import (
     emd_approx,
     emd_loss,
 )
+from ldt_tpu.ops.masks import (
+    MaskedBatchNorm,
+    check,
+    get_mask,
+    get_pairwise_distance,
+    masked_fill,
+    sample_mask,
+)
 from ldt_tpu.ops.geometry import (
     avg_voxelize,
     ball_query,
@@ -27,7 +35,13 @@ from ldt_tpu.ops.geometry import (
 )
 
 __all__ = [
+    "MaskedBatchNorm",
     "avg_voxelize",
+    "check",
+    "get_mask",
+    "get_pairwise_distance",
+    "masked_fill",
+    "sample_mask",
     "approx_match_cost",
     "auction_emd",
     "ball_query",

@@ -1,0 +1,89 @@
+"""Tests for auxiliary subsystems: masks, visualization, profiling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldt_tpu.ops.masks import (
+    MaskedBatchNorm,
+    check,
+    get_mask,
+    get_pairwise_distance,
+    masked_fill,
+    sample_mask,
+)
+from ldt_tpu.tools.profiling import StepTimer
+from ldt_tpu.tools.vis_utils import npy2xml, render_3D
+
+
+class TestMasks:
+    def test_sample_mask_counts(self):
+        mask = sample_mask(jax.random.key(0), (4, 10), 16)
+        assert mask.shape == (4, 16)
+        # exactly 10 present (False) per row
+        np.testing.assert_array_equal((~np.asarray(mask)).sum(1), 10)
+
+    def test_get_mask_prefix(self):
+        mask = get_mask((2, 3), 5)
+        np.testing.assert_array_equal(
+            np.asarray(mask),
+            [[False, False, False, True, True]] * 2)
+
+    def test_masked_fill(self):
+        x = jnp.ones((2, 3, 4))
+        mask = jnp.array([[False, True, False], [True, False, False]])
+        out = masked_fill(x, mask, 0.0)
+        assert float(out[0, 1].sum()) == 0.0
+        assert float(out[0, 0].sum()) == 4.0
+
+    def test_check_raises_on_nan(self):
+        check(jnp.ones((3,)))
+        with pytest.raises(AssertionError):
+            check(jnp.array([1.0, jnp.nan]))
+
+    def test_pairwise_distance(self):
+        x = jnp.array([[0.0, 0.0], [3.0, 4.0]])
+        d = get_pairwise_distance(x)
+        assert float(d[0, 1]) == pytest.approx(5.0)
+
+    def test_masked_batchnorm_ignores_padding(self):
+        mbn = MaskedBatchNorm(4)
+        x = jnp.concatenate([jnp.ones((2, 3, 4)), 100 * jnp.ones((2, 2, 4))],
+                            axis=1)
+        mask = get_mask((2, 3), 5)  # positions 3,4 are padding
+        variables = mbn.init(jax.random.key(0), x, mask, train=True)
+        out, updated = mbn.apply(variables, x, mask, train=True,
+                                 mutable=["batch_stats"])
+        # stats computed over the all-ones region only -> masked result finite
+        # and padding slots zeroed
+        assert np.asarray(out)[0, 3:].sum() == 0.0
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestVis:
+    def test_npy2xml_structure(self):
+        pts = np.random.RandomState(0).randn(32, 3)
+        xml = npy2xml(pts)
+        assert xml.count("<shape type=\"sphere\">") == 32
+        assert xml.startswith("<scene")
+        assert xml.rstrip().endswith("</scene>")
+
+    def test_render_writes_files(self, tmp_path):
+        pts = np.random.RandomState(0).randn(2, 64, 3)
+        render_3D(str(tmp_path), pts)
+        assert os.path.exists(tmp_path / "smp_0.xml")
+        assert os.path.exists(tmp_path / "smp_1.xml")
+
+
+class TestStepTimer:
+    def test_rolling_rate(self):
+        t = StepTimer(window=4)
+        assert t.tick() is None
+        import time
+        time.sleep(0.01)
+        st = t.tick()
+        assert st is not None and st > 0
+        assert t.rate(64) > 0
