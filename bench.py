@@ -48,8 +48,10 @@ def main():
     rng = jax.random.key(0)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     z = jnp.zeros((2, scfg.z_scale, scfg.z_dim))
-    score_params = score.init(k1, z, jnp.ones((2,)))["params"]
-    comp_vars = compressor.init(
+    # jit the inits: un-jitted tracing executes op-by-op (slow over remote
+    # device transports); jitted it is one compiled program.
+    score_params = jax.jit(score.init)(k1, z, jnp.ones((2,)))["params"]
+    comp_vars = jax.jit(compressor.init)(
         {"params": k2, "sample": k3}, jnp.zeros((2, num_points, 3)))
 
     def make_score_fn(params):

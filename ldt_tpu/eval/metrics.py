@@ -40,11 +40,25 @@ def _pair_block(sample_block: jax.Array, ref_block: jax.Array,
     sample_block: [S, N, 3]; ref_block: [R, M, 3] ->
       cd [S, R] (= mean_n dl + mean_m dr, squared distances), and emd [S, R]
       (approx-match cost / M) when requested.
+
+    When multiple devices are visible the flattened S*R pair axis is sharded
+    over a 1-D `data` mesh: each device computes its slice of the pair tile
+    (the pairs are embarrassingly parallel — the TPU-native answer to the
+    reference's O(N^2) per-pair kernel-launch loop,
+    evaluation_metrics.py:112-162).
     """
     s, n, _ = sample_block.shape
     r, m, _ = ref_block.shape
     xs = jnp.repeat(sample_block, r, axis=0)          # [S*R, N, 3]
     ys = jnp.tile(ref_block, (s, 1, 1))               # [S*R, M, 3]
+    if jax.device_count() > 1 and (s * r) % jax.device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ldt_tpu.parallel.mesh import data_mesh
+
+        sharding = NamedSharding(data_mesh(), P("data"))
+        xs = jax.lax.with_sharding_constraint(xs, sharding)
+        ys = jax.lax.with_sharding_constraint(ys, sharding)
     dl, dr, _, _ = chamfer_distance(xs, ys)
     cd = (jnp.mean(dl, axis=1) + jnp.mean(dr, axis=1)).reshape(s, r)
     if not with_emd:

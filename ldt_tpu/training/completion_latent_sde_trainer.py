@@ -139,13 +139,13 @@ class Trainer(LatentSDETrainer):
         z = jnp.zeros((b, self.cfg.score.z_scale, self.cfg.score.z_dim))
         t = jnp.ones((b,))
         self.rng, k = jax.random.split(self.rng)
-        variables = self.model.init(k, z, t, None, condition)
+        variables = jax.jit(self.model.init)(k, z, t, None, condition)
         self.state = TrainState.create(
             variables["params"], self.tx,
             batch_stats=variables.get("batch_stats"), ema=True)
         if self.comp_vars is None:
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
-            self.comp_vars = self.compressor.init(
+            self.comp_vars = jax.jit(self.compressor.init)(
                 {"params": k1, "sample": k2}, pts)
 
     # -------------------------------------------------------------- update

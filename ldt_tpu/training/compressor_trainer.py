@@ -106,7 +106,7 @@ class Trainer(BaseTrainer):
         pts = jnp.asarray(batch["tr_points"])
         label = self._label_of(batch)
         self.rng, init_rng, sample_rng = jax.random.split(self.rng, 3)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
             {"params": init_rng, "sample": sample_rng}, pts, label=label,
             train=True)
         self.state = TrainState.create(

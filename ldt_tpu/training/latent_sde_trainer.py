@@ -199,13 +199,13 @@ class Trainer(BaseTrainer):
         label = self._label_of(batch)
         label = label[:b] if label is not None else None
         self.rng, k = jax.random.split(self.rng)
-        variables = self.model.init(k, z, t, label)
+        variables = jax.jit(self.model.init)(k, z, t, label)
         self.state = TrainState.create(variables["params"], self.tx, ema=True)
         if self.comp_vars is None:
             # random compressor (tests / pretrain-less runs)
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
             pts = jnp.asarray(batch["tr_points"][:b])
-            self.comp_vars = self.compressor.init(
+            self.comp_vars = jax.jit(self.compressor.init)(
                 {"params": k1, "sample": k2}, pts, label=label)
 
     # -------------------------------------------------------------- update
