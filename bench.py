@@ -54,7 +54,24 @@ def main():
     comp_vars = jax.jit(compressor.init)(
         {"params": k2, "sample": k3}, jnp.zeros((2, num_points, 3)))
 
+    from ldt_tpu.models.score import Score as ScoreCls
+
+    use_mods = os.environ.get("LDT_BENCH_MODS", "1") == "1"
+
     def make_score_fn(params):
+        if use_mods:
+            schedule = jnp.linspace(1.0, 1e-6, steps)
+            mods = score.apply({"params": params}, schedule,
+                               method=ScoreCls.precompute_mods)
+
+            def score_fn(t, x, step):
+                step_mods = jax.tree_util.tree_map(lambda m: m[step], mods)
+                p = score.apply({"params": params}, x, step_mods,
+                                method=ScoreCls.denoise_with_mods)
+                std = sde.std(t)[:, None, None]
+                return -p.astype(jnp.float32) / std, p
+            return score_fn
+
         def score_fn(t, x):
             p = score.apply({"params": params}, x, t)
             std = sde.std(t)[:, None, None]

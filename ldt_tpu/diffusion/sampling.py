@@ -70,6 +70,20 @@ def sample_discrete(
         x0 = x0 * jnp.sqrt(sde.sigma2_max)
     timesteps = jnp.linspace(T, time_eps, N)
 
+    # A score_fn accepting `step` gets the integer scan index — lets callers
+    # precompute per-step quantities (e.g. AdaLN modulations) outside the
+    # scan and gather them by index (see Score.precompute_mods).
+    import inspect
+
+    takes_step = "step" in inspect.signature(score_fn).parameters
+    raw_score_fn = score_fn
+    _step = [jnp.int32(0)]  # set by the scan body
+
+    def score_fn(t, x):  # noqa: F811 - deliberate shadow
+        if takes_step:
+            return raw_score_fn(t, x, step=_step[0])
+        return raw_score_fn(t, x)
+
     def vec(t):
         return jnp.full((num_samples,), t)
 
@@ -165,7 +179,9 @@ def sample_discrete(
     pred_fn = predictors.get(predictor)
     corr_fn = correctors.get(corrector)
 
-    def body(carry, t):
+    def body(carry, ti):
+        t, i = ti
+        _step[0] = i
         x, x_mean, step_rng = carry
         step_rng, k1, k2 = jax.random.split(step_rng, 3)
         x_mean = x
@@ -175,8 +191,9 @@ def sample_discrete(
             x, x_mean = corr_fn(x, t, k2)
         return (x, x_mean, step_rng), None
 
-    (x, x_mean, _), _ = lax.scan(body, (x0, x0, rng), timesteps,
-                                 unroll=unroll)
+    (x, x_mean, _), _ = lax.scan(
+        body, (x0, x0, rng), (timesteps, jnp.arange(N, dtype=jnp.int32)),
+        unroll=unroll)
     # `denoise` returns the noise-free mean of the final step
     # (diffusion_continuous.py:258).
     return x_mean if denoise else x

@@ -264,9 +264,34 @@ class ResidualBlock(nn.Module):
     act: Optional[str] = None
     dtype: Dtype = jnp.float32
 
+    def compute_mods(self, c: jax.Array) -> jax.Array:
+        """Evaluate only the AdaLN head(s) for conditioning `c` [S, Dc].
+
+        Returns the concatenated modulation vector ([S, 6*dim] or
+        [S, 2*dim_in + 4*dim_out]). Used to hoist time-conditioning out of
+        the 1000-step sampling scan: the modulations depend on t alone, so
+        they can be precomputed for every step at once (see
+        `Score.precompute_mods`). Reads the params created by `__call__`
+        (a compact module allows only one module-constructing method).
+        """
+        dim_out = self.dim_out if self.dim_out is not None else self.dim_in
+        assert self.AdaLN and self.dim_c is not None
+        c = jax.nn.silu(c)
+
+        def dense(name, v):
+            p = self.get_variable("params", name)
+            return (v @ p["kernel"].astype(self.dtype)
+                    + p["bias"].astype(self.dtype))
+
+        if self.dim_in == dim_out:
+            return dense("adaLN", c)
+        return jnp.concatenate([dense("adaLN1", c), dense("adaLN2", c)],
+                               axis=-1)
+
     @nn.compact
     def __call__(self, x: jax.Array, y: Optional[jax.Array] = None,
                  c: Optional[jax.Array] = None, *,
+                 mods: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         dim_out = self.dim_out if self.dim_out is not None else self.dim_in
         affine = self.dim_c is None
@@ -287,15 +312,28 @@ class ResidualBlock(nn.Module):
                 return nn.Dense(dim_out, dtype=self.dtype, name="shortcut")(v)
             return v
 
-        if c is not None:
-            if c.ndim == 2:
+        if c is not None or mods is not None:
+            if c is not None and c.ndim == 2:
                 c = c[:, None, :]  # [B, 1, Dc] broadcast over tokens
             if self.AdaLN:
-                if self.dim_in == dim_out:
-                    mods = nn.Dense(6 * dim_out, dtype=self.dtype,
-                                    name="adaLN")(jax.nn.silu(c))
+                if mods is not None:
+                    # precomputed modulations ([..., 6*dim] etc.); reshape to
+                    # broadcast over [B, N, dim]
+                    while mods.ndim < 3:
+                        mods = mods[None]
+                    if self.dim_in == dim_out:
+                        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
+                         gate_mlp) = jnp.split(mods, 6, axis=-1)
+                    else:
+                        shift_msa, scale_msa = jnp.split(
+                            mods[..., : 2 * self.dim_in], 2, axis=-1)
+                        gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+                            mods[..., 2 * self.dim_in:], 4, axis=-1)
+                elif self.dim_in == dim_out:
+                    m = nn.Dense(6 * dim_out, dtype=self.dtype,
+                                 name="adaLN")(jax.nn.silu(c))
                     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
-                     gate_mlp) = jnp.split(mods, 6, axis=-1)
+                     gate_mlp) = jnp.split(m, 6, axis=-1)
                 else:
                     m1 = nn.Dense(2 * self.dim_in, dtype=self.dtype,
                                   name="adaLN1")(jax.nn.silu(c))
@@ -335,18 +373,31 @@ class FinalLayer(nn.Module):
     norm: Optional[str] = "layer_norm"
     dtype: Dtype = jnp.float32
 
+    def compute_mods(self, c: jax.Array) -> jax.Array:
+        """AdaLN head only (see ResidualBlock.compute_mods)."""
+        p = self.get_variable("params", "adaLN")
+        return (jax.nn.silu(c) @ p["kernel"].astype(self.dtype)
+                + p["bias"].astype(self.dtype))
+
     @nn.compact
-    def __call__(self, x: jax.Array, c: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, c: Optional[jax.Array] = None, *,
+                 mods: Optional[jax.Array] = None) -> jax.Array:
         affine = self.dim_c is None
         norm = make_norm(self.norm, x.shape[-1], elementwise_affine=affine,
                          dtype=self.dtype)
         n = norm if norm is not None else (lambda v: v)
+        if mods is not None:
+            while mods.ndim < 3:
+                mods = mods[None]
+            shift, scale = jnp.split(mods, 2, axis=-1)
+            x = modulate(n(x), shift, scale)
+            return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
         if c is not None:
             if c.ndim == 2:
                 c = c[:, None, :]
-            mods = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
-                            name="adaLN")(jax.nn.silu(c))
-            shift, scale = jnp.split(mods, 2, axis=-1)
+            m = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
+                         name="adaLN")(jax.nn.silu(c))
+            shift, scale = jnp.split(m, 2, axis=-1)
             x = modulate(n(x), shift, scale)
             return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(n(x))

@@ -157,10 +157,31 @@ class Trainer(BaseTrainer):
         @functools.partial(jax.jit, static_argnums=(3, 4))
         def sample_step(params, comp_vars, rng, num_samples, num_points,
                         label, condition):
-            def score_fn(t, x):
-                p = model.apply({"params": params}, x, t, label, condition)
-                std = sde.std(t)[:, None, None]
-                return -p / std, p
+            fast_mods = (label is None and condition is None
+                         and not cfg.score.unet and cfg.score.AdaLN
+                         and self.sample_mode != "continuous"
+                         and sde_cfg.predictor != "pndm")
+            if fast_mods:
+                # hoist the time-conditioning out of the scan: all AdaLN
+                # modulations for the fixed schedule in one shot
+                schedule = jnp.linspace(1.0, self.sample_time_eps,
+                                        sde_cfg.sample_N)
+                mods = model.apply({"params": params}, schedule,
+                                   method=Score.precompute_mods)
+
+                def score_fn(t, x, step):
+                    step_mods = jax.tree_util.tree_map(
+                        lambda m: m[step], mods)
+                    p = model.apply({"params": params}, x, step_mods,
+                                    method=Score.denoise_with_mods)
+                    std = sde.std(t)[:, None, None]
+                    return -p / std, p
+            else:
+                def score_fn(t, x):
+                    p = model.apply({"params": params}, x, t, label,
+                                    condition)
+                    std = sde.std(t)[:, None, None]
+                    return -p / std, p
 
             k_sde, k_dec = jax.random.split(rng)
             if self.sample_mode == "continuous":
