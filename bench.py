@@ -42,7 +42,9 @@ def main():
     ccfg = compressor_cfg()
     sde = make_diffusion(sde_cfg(sample_N=steps))
 
-    score = Score(scfg, dtype=jnp.bfloat16)
+    fused = os.environ.get("LDT_BENCH_FUSED_ATTN", "1") == "1" and \
+        jax.default_backend() == "tpu"
+    score = Score(scfg, dtype=jnp.bfloat16, fused_attention=fused)
     compressor = Compressor(ccfg, dtype=jnp.bfloat16)
 
     rng = jax.random.key(0)

@@ -121,12 +121,14 @@ class Score(nn.Module):
 
     cfg: Any
     dtype: Dtype = jnp.float32
+    fused_attention: bool = False  # Pallas attention core (sampling path)
 
     def setup(self):
         cfg = self.cfg
         block = dict(dim_c=cfg.t_dim, num_heads=cfg.num_heads, norm=cfg.norm,
                      dropout_att=cfg.dropout, dropout_mlp=cfg.dropout,
-                     act=cfg.act, AdaLN=cfg.AdaLN, dtype=self.dtype)
+                     act=cfg.act, AdaLN=cfg.AdaLN,
+                     fused_attention=self.fused_attention, dtype=self.dtype)
         if cfg.condition:
             self.c_net = ConditionNet(cfg.hidden_size, cfg.t_dim,
                                       patch_size=cfg.z_scale, dtype=self.dtype)

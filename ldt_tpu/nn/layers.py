@@ -209,6 +209,7 @@ class Attention(nn.Module):
     dim_out: int
     num_heads: int
     dropout_p: float = 0.0
+    fused_core: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -222,12 +223,22 @@ class Attention(nn.Module):
         k, v = kv[..., :d], kv[..., d:]
         b, n, _ = q.shape
         m = k.shape[1]
-        q = q.reshape(b, n, h, dh)
-        k = k.reshape(b, m, h, dh)
-        v = v.reshape(b, m, h, dh)
-        w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(self.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+        if self.fused_core and n == m:
+            # Pallas kernel: heads folded into rows, no HBM relayouts
+            # (ldt_tpu/ops/pallas_attention.py). Forward-only, used on the
+            # sampling path; params are identical to the XLA path.
+            from ldt_tpu.ops.pallas_attention import fused_attention_core
+
+            att = fused_attention_core(q, k, v, h,
+                                       interpret=jax.default_backend() != "tpu")
+        else:
+            q = q.reshape(b, n, h, dh)
+            k = k.reshape(b, m, h, dh)
+            v = v.reshape(b, m, h, dh)
+            w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
+            w = jax.nn.softmax(w.astype(jnp.float32),
+                               axis=-1).astype(self.dtype)
+            att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
         att = nn.Dense(d, dtype=self.dtype, name="fc_o")(att)
         if self.dropout_p > 0:
             att = nn.Dropout(self.dropout_p)(att, deterministic=deterministic)
@@ -262,6 +273,7 @@ class ResidualBlock(nn.Module):
     dim_out: Optional[int] = None
     AdaLN: bool = True
     act: Optional[str] = None
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     def compute_mods(self, c: jax.Array) -> jax.Array:
@@ -303,6 +315,7 @@ class ResidualBlock(nn.Module):
         n2 = norm2 if norm2 is not None else (lambda v: v)
         act = get_activation(self.act)
         attn = Attention(dim_out, self.num_heads, self.dropout_att,
+                         fused_core=self.fused_attention,
                          dtype=self.dtype, name="attn")
         mlp = MLP(int(self.mlp_ratio * dim_out), dim_out, n_hidden=1,
                   dropout_p=self.dropout_mlp, dtype=self.dtype, name="mlp")

@@ -78,11 +78,18 @@ class Trainer(BaseTrainer):
 
         self.state: Optional[TrainState] = None
         self.comp_vars = None  # {'params', 'batch_stats'} of the compressor
+        # sampling twin of the score net: same params, Pallas attention core
+        # on TPU (ldt_tpu/ops/pallas_attention.py). Training keeps the XLA
+        # attention (differentiable).
+        self.sample_model = Score(
+            cfg.score, dtype=model.dtype,
+            fused_attention=jax.default_backend() == "tpu")
         self._build_steps()
 
     # ------------------------------------------------------------------ jit
     def _build_steps(self):
         cfg, model, compressor = self.cfg, self.model, self.compressor
+        sample_model = self.sample_model
         sde, tx = self.SDE, self.tx
         timesteps, train_N = self.timesteps, self.N
         loss_type = cfg.opt.loss_type
@@ -172,14 +179,14 @@ class Trainer(BaseTrainer):
                 def score_fn(t, x, step):
                     step_mods = jax.tree_util.tree_map(
                         lambda m: m[step], mods)
-                    p = model.apply({"params": params}, x, step_mods,
-                                    method=Score.denoise_with_mods)
+                    p = sample_model.apply({"params": params}, x, step_mods,
+                                           method=Score.denoise_with_mods)
                     std = sde.std(t)[:, None, None]
                     return -p / std, p
             else:
                 def score_fn(t, x):
-                    p = model.apply({"params": params}, x, t, label,
-                                    condition)
+                    p = sample_model.apply({"params": params}, x, t, label,
+                                           condition)
                     std = sde.std(t)[:, None, None]
                     return -p / std, p
 
