@@ -28,6 +28,21 @@ def common_init(seed: int) -> jax.Array:
     return jax.random.key(seed)
 
 
+def trace_df_dx_hutchinson(f, x, noise):
+    """Hutchinson estimator of tr(df/dx): E[noise^T (df/dx) noise]
+    (reference tools/utils.py:184-200; used by likelihood-ODE variants).
+
+    f: function of x; x: [B, ...]; noise: same shape as x.
+    Returns per-batch-element trace estimates [B].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _, jvp_val = jax.jvp(f, (x,), (noise,))
+    prod = (jvp_val * noise).reshape(x.shape[0], -1)
+    return jnp.sum(prod, axis=-1)
+
+
 class AverageMeter:
     """Running average (tools/utils.py:279-295)."""
 
