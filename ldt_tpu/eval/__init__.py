@@ -11,7 +11,15 @@ from ldt_tpu.eval.metrics import (
     pairwise_CD,
     pairwise_EMD_CD,
 )
-from ldt_tpu.eval.loss import CD_loss, EMD_loss, F1Score, L2_ChamferEval_1000
+from ldt_tpu.eval.loss import (
+    CD_loss,
+    EMD_loss,
+    F1Score,
+    L2_ChamferEval_1000,
+    fscore,
+    huber_loss,
+    kl_softmax_loss,
+)
 
 __all__ = [
     "EMD_CD",
@@ -22,7 +30,10 @@ __all__ = [
     "compute_CD_metrics",
     "compute_MMD_metrics",
     "compute_all_metrics",
+    "fscore",
+    "huber_loss",
     "jsd_between_point_cloud_sets",
+    "kl_softmax_loss",
     "knn",
     "lgan_mmd_cov",
     "pairwise_CD",

@@ -34,6 +34,33 @@ def L2_ChamferEval_1000(array1: jax.Array, array2: jax.Array) -> jax.Array:
     return (jnp.mean(d1) + jnp.mean(d2)) * 1000.0
 
 
+def fscore(dist1: jax.Array, dist2: jax.Array, threshold: float = 0.001):
+    """F-score from precomputed per-point distances
+    (reference evaluation/ChamferDistancePytorch/fscore.py:3-16)."""
+    precision_1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+    precision_2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+    denom = precision_1 + precision_2
+    f = jnp.where(denom > 0,
+                  2 * precision_1 * precision_2 / jnp.maximum(denom, 1e-12),
+                  0.0)
+    return f, precision_1, precision_2
+
+
+def kl_softmax_loss(x: jax.Array, y: jax.Array) -> jax.Array:
+    """KL(softmax(stop_grad(x)) || softmax(y)) over axis 1
+    (reference model/functional/loss.py:7-10)."""
+    px = jax.nn.softmax(jax.lax.stop_gradient(x), axis=1)
+    log_py = jax.nn.log_softmax(y, axis=1)
+    return jnp.mean(jnp.sum(px * (jnp.log(px) - log_py), axis=1))
+
+
+def huber_loss(error: jax.Array, delta: float) -> jax.Array:
+    """Huber loss (reference model/functional/loss.py:13-17)."""
+    abs_error = jnp.abs(error)
+    quadratic = jnp.minimum(abs_error, delta)
+    return jnp.mean(0.5 * quadratic ** 2 + delta * (abs_error - quadratic))
+
+
 def F1Score(array1: jax.Array, array2: jax.Array, threshold: float = 0.001):
     """Completion F-score (completion_trainer/Latent_SDE_Trainer.py:47-53).
 

@@ -86,6 +86,8 @@ class Trainer(LatentSDETrainer):
         z_shape = (cfg.score.z_scale, cfg.score.z_dim)
         sde_cfg = cfg.sde
 
+        sample_model = self.sample_model
+
         @functools.partial(jax.jit, static_argnums=(4, 5))
         def cond_sample_step(params, batch_stats, comp_vars, rng, num_samples,
                              num_points, condition):
@@ -97,7 +99,9 @@ class Trainer(LatentSDETrainer):
                                    method=Score.encode_condition)
 
             def score_fn(t, x):
-                p = model.apply(variables, x, t, None, cond_enc)
+                # fused Pallas attention applies to the cross-attention too:
+                # condition tokens == z_scale == query tokens
+                p = sample_model.apply(variables, x, t, None, cond_enc)
                 std = sde.std(t)[:, None, None]
                 return -p / std, p
 
