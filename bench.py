@@ -36,6 +36,7 @@ def main():
     steps = int(os.environ.get("LDT_BENCH_STEPS", 50 if on_cpu else 1000))
     reps = int(os.environ.get("LDT_BENCH_REPS", 1 if on_cpu else 3))
     unroll = int(os.environ.get("LDT_BENCH_UNROLL", 1))
+    predictor = os.environ.get("LDT_BENCH_PREDICTOR", "ancestral")
     num_points = 2048
 
     scfg = score_cfg()
@@ -85,7 +86,7 @@ def main():
         k_sde, k_dec = jax.random.split(rng)
         eps = sample_discrete(
             sde, make_score_fn(score_params), k_sde, batch,
-            (scfg.z_scale, scfg.z_dim), N=steps, predictor="ancestral",
+            (scfg.z_scale, scfg.z_dim), N=steps, predictor=predictor,
             time_eps=1e-6, denoise=True, unroll=unroll)
         return compressor.apply(comp_vars, (batch, num_points), eps,
                                 method=Compressor.sample,
