@@ -42,11 +42,10 @@ class Trainer(LatentSDETrainer):
         subvp_like = self.sde_type == "sub_vpsde"
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def cond_train_step(state: TrainState, comp_vars, pts, condition, lr,
-                            rng):
-            k_enc, k_t, k_eta = jax.random.split(rng, 3)
-            out = compressor.apply(comp_vars, pts, rngs={"sample": k_enc})
-            eps = jax.lax.stop_gradient(out["all_eps"])
+        def cond_train_step(state: TrainState, eps, condition, lr, rng):
+            # encode runs in the parent class's separate `_encode_step` jit
+            # (see latent_sde_trainer.py for why the jits are split)
+            _, k_t, k_eta = jax.random.split(rng, 3)
             size = eps.shape[0]
             if self.discrete:
                 idx = jax.random.randint(k_t, (size,), 0, train_N)
@@ -169,8 +168,10 @@ class Trainer(LatentSDETrainer):
         pts, condition = shard_batch(self.mesh, (pts, condition))
         lr = self.current_lr()
         self.rng, k = jax.random.split(self.rng)
-        self.state, loss = self._cond_train_step(self.state, self.comp_vars,
-                                                 pts, condition, lr, k)
+        k_enc, _ = jax.random.split(k)
+        eps = self._encode_step(self.comp_vars, pts, k_enc, None)
+        self.state, loss = self._cond_train_step(self.state, eps, condition,
+                                                 lr, k)
         self.itr += 1
         return loss
 

@@ -102,6 +102,13 @@ class Trainer(BaseTrainer):
                                    rngs={"sample": rng})
             return jax.lax.stop_gradient(out["all_eps"])
 
+        # NOTE: encode and the score update are SEPARATE jits on purpose.
+        # The monolithic (encode + fwd + bwd + Adam + EMA) program compiled
+        # in 283-804 s on the remote-compile transport while its two halves
+        # compile in ~45 s combined; the split costs one extra dispatch and a
+        # ~1 MB latent round-trip per step — noise.
+        self._encode_step = jax.jit(encode)
+
         def score_loss(params, eps, t, var, e2int, weight, eta, label,
                        condition, train, dropout_rng):
             xt = eps * e2int + jnp.sqrt(var) * eta
@@ -115,9 +122,8 @@ class Trainer(BaseTrainer):
             return jnp.mean(distance * weight)  # weight: [B,1,1] broadcast
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, comp_vars, pts, label, lr, rng):
-            k_enc, k_t, k_eta, k_drop = jax.random.split(rng, 4)
-            eps = encode(comp_vars, pts, k_enc, label)
+        def train_step(state: TrainState, eps, label, lr, rng):
+            _, k_t, k_eta, k_drop = jax.random.split(rng, 4)
             size = eps.shape[0]
             if self.discrete:
                 idx = jax.random.randint(k_t, (size,), 0, train_N)
@@ -244,8 +250,9 @@ class Trainer(BaseTrainer):
         pts, label = shard_batch(self.mesh, (pts, label))
         lr = self.current_lr()
         self.rng, k = jax.random.split(self.rng)
-        self.state, loss = self._train_step(self.state, self.comp_vars, pts,
-                                            label, lr, k)
+        k_enc, _ = jax.random.split(k)
+        eps = self._encode_step(self.comp_vars, pts, k_enc, label)
+        self.state, loss = self._train_step(self.state, eps, label, lr, k)
         self.itr += 1
         return loss
 
