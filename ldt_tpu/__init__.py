@@ -11,8 +11,9 @@ Subpackages
 - ``ldt_tpu.diffusion``  continuous SDE family + fully-jitted samplers.
 - ``ldt_tpu.training``   trainers, EMA, schedules, checkpointing, CSV logging.
 - ``ldt_tpu.data``       ShapeNet-55 and ShapeNet-ViPC loaders (numpy, host-side).
-- ``ldt_tpu.evaluation`` generative metrics (MMD/COV/1-NNA over CD+EMD, JSD, F1).
+- ``ldt_tpu.eval``       generative metrics (MMD/COV/1-NNA over CD+EMD, JSD, F1).
 - ``ldt_tpu.parallel``   device-mesh / sharding helpers (dp x tp over ICI).
+- ``ldt_tpu.tools``      config / logging / profiling / visualization.
 """
 
 __version__ = "0.1.0"
