@@ -58,6 +58,15 @@ class Trainer(LatentSDETrainer):
                                       cfg.opt.weight_decay,
                                       cfg.opt.grad_norm_clip_value)
         self.comp_state: Optional[TrainState] = None
+        # the reference's Hybrid score step ALWAYS samples discrete t
+        # (Hybrid_Trainer.py:93-95 has no continuous branch) even when the
+        # compressor KL uses continuous importance sampling (opt.discrete
+        # False); rebuild the parent score-update jit in discrete mode,
+        # keeping cfg.opt.discrete for the KL term below.
+        cfg_discrete = self.discrete
+        self.discrete = True
+        self._build_steps()
+        self.discrete = cfg_discrete
         self._build_hybrid_step()
 
     def _build_hybrid_step(self):
@@ -85,10 +94,15 @@ class Trainer(LatentSDETrainer):
                                         weight_c[..., None])
             return t, var, e2int, weight_q
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def hybrid_step(comp_state: TrainState, state: TrainState, pts, label,
-                        lr, comp_lr, alpha, rng):
-            k_s, k_t1, k_eta1, k_t2, k_eta2 = jax.random.split(rng, 5)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def hybrid_comp_step(comp_state: TrainState, score_params, pts, label,
+                             comp_lr, alpha, rng):
+            """Joint compressor update (needs the score fwd inside for the
+            diffusion-prior KL). The score's own update runs in the parent's
+            separate `_train_step` jit on the detached latents — smaller
+            programs compile an order of magnitude faster on the remote
+            transport, same math."""
+            k_s, k_t1, k_eta1 = jax.random.split(rng, 3)
             size = pts.shape[0]
             t, var, e2int, weight_q = diffuse_quantities(k_t1, size)
             eta = jax.random.normal(
@@ -110,7 +124,7 @@ class Trainer(LatentSDETrainer):
                 # score params held fixed in this term (the reference throws
                 # its score grads away, Hybrid_Trainer.py:157-159)
                 pred = score.apply(
-                    {"params": jax.lax.stop_gradient(state.params)}, xt, t,
+                    {"params": jax.lax.stop_gradient(score_params)}, xt, t,
                     label, None)
                 distance = jnp.square(eta - pred)
                 logpz = -(distance * weight_q + ce_const)
@@ -125,26 +139,9 @@ class Trainer(LatentSDETrainer):
                     comp_state.params)
             comp_state = apply_update(comp_state, c_grads, comp_tx, comp_lr,
                                       ema_decay=0.0, new_batch_stats=new_bs)
+            return comp_state, jax.lax.stop_gradient(eps), kl_loss, rec_loss
 
-            # --- score step on detached latents (Hybrid_Trainer.py:88-113)
-            eps = jax.lax.stop_gradient(eps)
-            t2, var2, e2int2, _ = diffuse_quantities(k_t2, size)
-            eta2 = jax.random.normal(k_eta2, eps.shape)
-
-            def score_loss_fn(s_params):
-                xt2 = eps * e2int2 + jnp.sqrt(var2) * eta2
-                pred2 = score.apply({"params": s_params}, xt2, t2, label, None)
-                if loss_type == "l1":
-                    d = jnp.abs(eta2 - pred2)
-                else:
-                    d = jnp.square(eta2 - pred2)
-                return jnp.mean(d)
-
-            s_loss, s_grads = jax.value_and_grad(score_loss_fn)(state.params)
-            state = apply_update(state, s_grads, tx, lr, ema_decay=ema_decay)
-            return comp_state, state, s_loss, kl_loss, rec_loss
-
-        self._hybrid_step = hybrid_step
+        self._hybrid_comp_step = hybrid_comp_step
 
     # ------------------------------------------------------------ lifecycle
     def maybe_init(self, batch):
@@ -171,9 +168,13 @@ class Trainer(LatentSDETrainer):
         alpha = (self.alpha / 10.0 if self.epoch < self.compressor_warmup
                  else self.alpha)
         self.rng, k = jax.random.split(self.rng)
-        (self.comp_state, self.state, loss_score, kl, rec) = \
-            self._hybrid_step(self.comp_state, self.state, pts, label, lr,
-                              lr, alpha, k)
+        k_comp, k_score = jax.random.split(k)
+        self.comp_state, eps, kl, rec = self._hybrid_comp_step(
+            self.comp_state, self.state.params, pts, label, lr, alpha, k_comp)
+        # score step on detached latents (Hybrid_Trainer.py:88-113), via the
+        # parent stage-2 update jit
+        self.state, loss_score = self._train_step(self.state, eps, label, lr,
+                                                  k_score)
         self._sync_comp_vars()
         self.itr += 1
         return loss_score, kl, rec
