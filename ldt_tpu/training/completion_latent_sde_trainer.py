@@ -40,6 +40,7 @@ class Trainer(LatentSDETrainer):
         ema_decay = self.ema_decay
         iw_mode = cfg.sde.iw_sample_p_mode
         subvp_like = self.sde_type == "sub_vpsde"
+        discrete = self.discrete
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def cond_train_step(state: TrainState, eps, condition, lr, rng):
@@ -47,7 +48,7 @@ class Trainer(LatentSDETrainer):
             # (see latent_sde_trainer.py for why the jits are split)
             _, k_t, k_eta = jax.random.split(rng, 3)
             size = eps.shape[0]
-            if self.discrete:
+            if discrete:
                 idx = jax.random.randint(k_t, (size,), 0, train_N)
                 t = timesteps[idx]
                 e2int = sde.e2int_f(t)[:, None, None]

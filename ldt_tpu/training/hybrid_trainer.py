@@ -14,7 +14,11 @@ The reference discards the score grads produced by clc_compressor
 (zero_grad-then-step, :157-159); here the score gradient is simply never
 taken in the compressor loss — same effect, no wasted backward.
 
-TPU design: both updates fuse into one jitted program per step.
+TPU design: two jitted programs per step (joint compressor update; score
+update on the detached latents via the parent stage-2 jit) — split because
+monolithic programs compile an order of magnitude slower on remote-compile
+transports. The score step samples discrete t like the reference's
+`update_score` regardless of opt.discrete.
 """
 
 from __future__ import annotations
@@ -79,9 +83,10 @@ class Trainer(LatentSDETrainer):
         iw_q = cfg.sde.iw_sample_q_mode
         subvp_like = self.sde_type == "sub_vpsde"
         time_eps = self.time_eps
+        discrete = self.discrete  # captured at build time (cfg.opt.discrete)
 
         def diffuse_quantities(k, size):
-            if self.discrete:
+            if discrete:
                 idx = jax.random.randint(k, (size,), 0, train_N)
                 t = timesteps[idx]
                 e2int = sde.e2int_f(t)[:, None, None]

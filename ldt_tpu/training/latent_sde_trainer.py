@@ -96,6 +96,9 @@ class Trainer(BaseTrainer):
         ema_decay = self.ema_decay
         iw_mode = cfg.sde.iw_sample_p_mode
         subvp_like = self.sde_type == "sub_vpsde"
+        # captured at BUILD time so Hybrid can rebuild the score step in
+        # discrete mode independently of cfg.opt.discrete (see hybrid_trainer)
+        discrete = self.discrete
 
         def encode(comp_vars, pts, rng, label):
             out = compressor.apply(comp_vars, pts, label=label,
@@ -125,7 +128,7 @@ class Trainer(BaseTrainer):
         def train_step(state: TrainState, eps, label, lr, rng):
             _, k_t, k_eta, k_drop = jax.random.split(rng, 4)
             size = eps.shape[0]
-            if self.discrete:
+            if discrete:
                 idx = jax.random.randint(k_t, (size,), 0, train_N)
                 t = timesteps[idx]
                 e2int = sde.e2int_f(t)[:, None, None]
