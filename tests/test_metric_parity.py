@@ -1,0 +1,115 @@
+"""Differential metric parity vs the ACTUAL reference evaluation stack.
+
+`evaluation/evaluation_metrics.py` imports on CPU with its pure-torch
+chamfer fallback (its own de-facto correctness oracle, SURVEY.md §4.4) and
+exact-math knn / MMD / COV / JSD — so the full metric pipeline that produced
+the val.txt baselines can be compared head-to-head.
+
+Skipped automatically when torch or /root/reference is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+REF = "/root/reference"
+if not os.path.isdir(REF):
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+em = pytest.importorskip("evaluation.evaluation_metrics")
+
+import jax.numpy as jnp  # noqa: E402
+
+from ldt_tpu.eval import (  # noqa: E402
+    compute_CD_metrics,
+    jsd_between_point_cloud_sets,
+    knn,
+    lgan_mmd_cov,
+    pairwise_CD,
+)
+from ldt_tpu.ops.chamfer import chamfer_metric  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.RandomState(0)
+    smp = (rng.randn(6, 32, 3) * 0.3).astype(np.float32)
+    ref = (rng.randn(5, 32, 3) * 0.3).astype(np.float32)
+    return smp, ref
+
+
+def test_chamfer_matches_reference_fallback(clouds):
+    """NOTE (reference quirk): the pure-torch fallback `distChamfer`
+    (evaluation_metrics.py:23-33) returns (min over x, min over y) =
+    (dist_y_to_x, dist_x_to_y) — the SWAPPED order relative to the CUDA
+    `distChamferCUDA` contract it substitutes for. Harmless in the reference
+    because every consumer sums both directions of equal-size clouds. We
+    follow the CUDA contract (d1 = x->y), so the comparison swaps."""
+    smp, ref = clouds
+    want_y2x, want_x2y = em.distChamfer(torch.from_numpy(smp[:5]),
+                                        torch.from_numpy(ref))
+    got1, got2 = chamfer_metric(jnp.asarray(smp[:5]), jnp.asarray(ref))
+    np.testing.assert_allclose(np.asarray(got1), want_x2y.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), want_y2x.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_matches_reference(clouds):
+    rng = np.random.RandomState(1)
+    mxx = np.abs(rng.randn(6, 6)).astype(np.float32)
+    mxx = (mxx + mxx.T) / 2
+    myy = np.abs(rng.randn(6, 6)).astype(np.float32)
+    myy = (myy + myy.T) / 2
+    mxy = np.abs(rng.randn(6, 6)).astype(np.float32)
+    want = em.knn(torch.from_numpy(mxx), torch.from_numpy(mxy),
+                  torch.from_numpy(myy), 1, sqrt=False)
+    got = knn(mxx, mxy, myy, 1, sqrt=False)
+    for key in ("tp", "fp", "fn", "tn", "precision", "recall", "acc"):
+        np.testing.assert_allclose(got[key], float(want[key]), rtol=1e-6,
+                                   err_msg=key)
+
+
+def test_lgan_mmd_cov_matches_reference():
+    rng = np.random.RandomState(2)
+    dist = np.abs(rng.randn(7, 5)).astype(np.float32)
+    want = em.lgan_mmd_cov(torch.from_numpy(dist))
+    got = lgan_mmd_cov(dist)
+    np.testing.assert_allclose(got["mmd"], float(want["mmd"]), rtol=1e-6)
+    np.testing.assert_allclose(got["cov"], float(want["cov"]), rtol=1e-6)
+
+
+def test_compute_cd_metrics_matches_reference_pipeline(clouds):
+    """Full val_sample.py metric path: our pipeline vs the reference running
+    on its pure-torch fallback kernels — identical clouds in, identical
+    MMD/COV/1-NNA out."""
+    smp, ref = clouds
+    got = compute_CD_metrics(smp, ref, batch_size=4, verbose=False)
+    want = em.compute_CD_metrics(torch.from_numpy(smp),
+                                 torch.from_numpy(ref), batch_size=4)
+    for key in ("mmd-CD", "cov-CD", "1-NN-CD-acc"):
+        np.testing.assert_allclose(
+            got[key], float(want[key]), rtol=1e-4, err_msg=key)
+
+
+def test_pairwise_cd_matrix_matches_reference(clouds):
+    smp, ref = clouds
+    got = pairwise_CD(smp, ref, batch_size=3)
+    want = em._pairwise_CD_(torch.from_numpy(smp), torch.from_numpy(ref),
+                            batch_size=3).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_jsd_matches_reference(clouds):
+    smp, ref = clouds
+    # clouds scaled to the unit sphere for occupancy grids
+    smp = smp / (np.abs(smp).max() * 2.1)
+    ref = ref / (np.abs(ref).max() * 2.1)
+    want = em.jsd_between_point_cloud_sets(smp, ref, resolution=12)
+    got = jsd_between_point_cloud_sets(smp, ref, resolution=12)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
