@@ -207,6 +207,10 @@ class Trainer(LatentSDETrainer):
         smp = np.concatenate(all_smp)
         ref = np.concatenate(all_ref)
         part = np.concatenate(all_part)
+        if vis:
+            from ldt_tpu.tools.vis_utils import render_3D
+
+            render_3D(os.path.join(self.cfg.log.save_path, "vis"), smp)
         cd = L2_ChamferEval_1000(jnp.asarray(smp), jnp.asarray(ref))
         f1, _, _ = F1Score(jnp.asarray(smp), jnp.asarray(ref))
         for name, arr in (("part", part), ("smp", smp), ("ref", ref)):

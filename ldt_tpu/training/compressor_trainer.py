@@ -168,6 +168,10 @@ class Trainer(BaseTrainer):
         print("Sample rate: %.8f " % (smp.shape[0] / max(use_time, 1e-9)))
         np.save(os.path.join(self.cfg.log.save_path,
                              f"smp_ep{self.epoch}.npy"), smp)
+        if vis:
+            from ldt_tpu.tools.vis_utils import render_3D
+
+            render_3D(os.path.join(self.cfg.log.save_path, "vis"), smp)
         gen_res = compute_all_metrics(smp, ref, batch_size=128)
         all_res = {f"val/gen/{k}": float(v) for k, v in gen_res.items()}
         print(f"Validation Sample (unit) Epoch:{self.epoch} ", gen_res)
