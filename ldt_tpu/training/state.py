@@ -65,9 +65,12 @@ def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
     if weight_decay:
+        # torch Adam folds weight decay into the gradients BEFORE the moment
+        # estimates (L2 style), unlike AdamW's decoupled decay — keep that
+        # order for parity (all shipped configs use weight_decay=0).
         parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
     return optax.chain(*parts)
 
 
