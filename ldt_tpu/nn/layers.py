@@ -218,8 +218,23 @@ class Attention(nn.Module):
         d = self.dim_out
         h = self.num_heads
         dh = d // h
-        q = nn.Dense(d, dtype=self.dtype, name="fc_q")(x)   # [B, N, D]
-        kv = nn.Dense(2 * d, dtype=self.dtype, name="fc_kv")(y)  # [B, M, 2D]
+        dense_q = nn.Dense(d, dtype=self.dtype, name="fc_q")
+        dense_kv = nn.Dense(2 * d, dtype=self.dtype, name="fc_kv")
+        if (self.fused_core and x is y and not self.is_initializing()):
+            # self-attention fast path: q and kv come from the SAME input, so
+            # run one [D, 3D] GEMM against the concatenated kernels instead
+            # of two launches (param tree unchanged: kernels read from the
+            # fc_q/fc_kv Dense scopes created during init)
+            pq = self.get_variable("params", "fc_q")
+            pkv = self.get_variable("params", "fc_kv")
+            w = jnp.concatenate([pq["kernel"], pkv["kernel"]],
+                                axis=1).astype(self.dtype)
+            bias = jnp.concatenate([pq["bias"], pkv["bias"]]).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ w + bias
+            q, kv = qkv[..., :d], qkv[..., d:]
+        else:
+            q = dense_q(x)        # [B, N, D]
+            kv = dense_kv(y)      # [B, M, 2D]
         k, v = kv[..., :d], kv[..., d:]
         b, n, _ = q.shape
         m = k.shape[1]
