@@ -75,7 +75,7 @@ def main():
                 return -p.astype(jnp.float32) / std, p
             return score_fn
 
-        def score_fn(t, x):
+        def score_fn(t, x, step=None):
             p = score.apply({"params": params}, x, t)
             std = sde.std(t)[:, None, None]
             return -p.astype(jnp.float32) / std, p

@@ -15,9 +15,15 @@ Here:
     control inside `lax.while_loop` (replaces torchdiffeq's scipy_solver,
     :88-131) — zero host round-trips.
 
-`score_fn(t, x) -> (score, params)` follows the trainer contract
+`score_fn(t, x, step) -> (score, params)` follows the trainer contract
 (trainer/Latent_SDE_Trainer.py:57-61): `score = -params / std(t)` with
 `params` the eps-prediction; label/condition are closed over by the caller.
+`step` is the int32 scan index within the fixed N-step schedule — it lets
+callers precompute per-step quantities (e.g. AdaLN modulations) outside the
+scan and gather by index (see Score.precompute_mods). Samplers WITHOUT a
+fixed schedule (the adaptive ODE) pass `step=None`; score_fns that require
+`step` must not be used there. The argument is explicit and positional-or-
+keyword so wrappers (functools.partial, decorators) compose safely.
 
 Known divergence from the reference (intentional): the reference's Langevin/
 Ancestral correctors compare `self.__class__` against *strings*
@@ -34,7 +40,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-ScoreFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+#: score_fn(t [B], x [B,*shape], step int32|None) -> (score, eps_prediction)
+ScoreFn = Callable[[jax.Array, jax.Array, Optional[jax.Array]],
+                   Tuple[jax.Array, jax.Array]]
 
 
 def sample_discrete(
@@ -70,59 +78,45 @@ def sample_discrete(
         x0 = x0 * jnp.sqrt(sde.sigma2_max)
     timesteps = jnp.linspace(T, time_eps, N)
 
-    # A score_fn accepting `step` gets the integer scan index — lets callers
-    # precompute per-step quantities (e.g. AdaLN modulations) outside the
-    # scan and gather them by index (see Score.precompute_mods).
-    import inspect
-
-    takes_step = "step" in inspect.signature(score_fn).parameters
-    raw_score_fn = score_fn
-    _step = [jnp.int32(0)]  # set by the scan body
-
-    def score_fn(t, x):  # noqa: F811 - deliberate shadow
-        if takes_step:
-            return raw_score_fn(t, x, step=_step[0])
-        return raw_score_fn(t, x)
-
     def vec(t):
         return jnp.full((num_samples,), t)
 
     # --- predictors (diffusion_continuous.py:141-191) -----------------------
-    def reverse_diffusion(x, t, step_rng):
+    def reverse_diffusion(x, t, step, step_rng):
         dt = (1 - time_eps) / N
         f = sde.f(vec(t))[:, None, None] * x
         g2 = sde.g2(vec(t))[:, None, None]
-        score, _ = score_fn(vec(t), x)
+        score, _ = score_fn(vec(t), x, step)
         dx = (f - g2 * score * (0.5 if probability_flow else 1.0)) * dt
         g = jnp.zeros_like(g2) if probability_flow else jnp.sqrt(g2)
         z = jax.random.normal(step_rng, x.shape)
         x_mean = x - dx
         return x_mean + g * z * jnp.sqrt(dt), x_mean
 
-    def ancestral(x, t, step_rng):
+    def ancestral(x, t, step, step_rng):
         idx = (t * (N - 1) / T).astype(jnp.int32)
         beta = sde.betas[idx]
-        score, _ = score_fn(vec(t), x)
+        score, _ = score_fn(vec(t), x, step)
         x_mean = (x + beta * score) / jnp.sqrt(1.0 - beta)
         noise = jax.random.normal(step_rng, x.shape)
         return x_mean + jnp.sqrt(beta) * noise, x_mean
 
-    def ddim(x, t, step_rng):
+    def ddim(x, t, step, step_rng):
         idx = (t * (N - 1) / T).astype(jnp.int32)
         at = sde.alphas_cump[idx]
         at_next = jnp.where(idx >= 1, sde.alphas_cump[jnp.maximum(idx - 1, 0)],
                             1.0)
-        _, params = score_fn(vec(t), x)
+        _, params = score_fn(vec(t), x, step)
         x_mean = (jnp.sqrt(at_next) * (x - jnp.sqrt(1 - at) * params)
                   / jnp.sqrt(at) + jnp.sqrt(1 - at_next) * params)
         return x_mean, x_mean
 
-    def euler_maruyama(x, t, step_rng):
+    def euler_maruyama(x, t, step, step_rng):
         dt = -1.0 / N
         z = jax.random.normal(step_rng, x.shape)
         f = sde.f(vec(t))[:, None, None] * x
         g2 = sde.g2(vec(t))[:, None, None]
-        score, _ = score_fn(vec(t), x)
+        score, _ = score_fn(vec(t), x, step)
         f = f - g2 * score * (0.5 if probability_flow else 1.0)
         x_mean = x + f * dt
         g2 = jnp.zeros_like(g2) if probability_flow else g2
@@ -136,12 +130,12 @@ def sample_discrete(
             return alphas[idx]
         return jnp.ones(())
 
-    def langevin(x, t, step_rng):
+    def langevin(x, t, step, step_rng):
         alpha = discrete_alpha(t)
         x_mean = x
         for i in range(corrector_steps):
             step_rng, k = jax.random.split(step_rng)
-            grad, _ = score_fn(vec(t), x)
+            grad, _ = score_fn(vec(t), x, step)
             noise = jax.random.normal(k, x.shape)
             grad_norm = jnp.mean(
                 jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=-1))
@@ -152,13 +146,13 @@ def sample_discrete(
             x = x_mean + jnp.sqrt(step_size * 2) * noise
         return x, x_mean
 
-    def ancestral_corrector(x, t, step_rng):
+    def ancestral_corrector(x, t, step, step_rng):
         alpha = discrete_alpha(t)
         std = sde.std(t)
         x_mean = x
         for i in range(corrector_steps):
             step_rng, k = jax.random.split(step_rng)
-            grad, _ = score_fn(vec(t), x)
+            grad, _ = score_fn(vec(t), x, step)
             noise = jax.random.normal(k, x.shape)
             step_size = (snr * std) ** 2 * 2 * alpha
             x_mean = x + step_size * grad
@@ -181,14 +175,13 @@ def sample_discrete(
 
     def body(carry, ti):
         t, i = ti
-        _step[0] = i
         x, x_mean, step_rng = carry
         step_rng, k1, k2 = jax.random.split(step_rng, 3)
         x_mean = x
         if pred_fn is not None:
-            x, x_mean = pred_fn(x, t, k1)
+            x, x_mean = pred_fn(x, t, i, k1)
         if corr_fn is not None:
-            x, x_mean = corr_fn(x, t, k2)
+            x, x_mean = corr_fn(x, t, i, k2)
         return (x, x_mean, step_rng), None
 
     (x, x_mean, _), _ = lax.scan(
@@ -230,8 +223,10 @@ def _pndm_sampling(sde, score_fn, rng, num_samples, shape, N, time_eps):
                            + jnp.sqrt((1 - at) * at_next))) * et)
         return x + x_delta
 
-    def call_params(t_scalar, x):
-        _, params = score_fn(jnp.full((num_samples,), t_scalar), x)
+    def call_params(t_scalar, x, step):
+        # PNDM evaluates at intermediate times within a step; `step` is the
+        # enclosing scan iteration (non-fast-path score_fns ignore it).
+        _, params = score_fn(jnp.full((num_samples,), t_scalar), x, step)
         return params
 
     def body(carry, idx):
@@ -243,9 +238,11 @@ def _pndm_sampling(sde, score_fn, rng, num_samples, shape, N, time_eps):
         # entry (diffusion_continuous.py:301). Replicated via mod.
         t3 = timesteps[(2 * (idx - 1) - 1) % (N * 2)]
 
+        step = N - idx  # 0-based scan iteration (idx runs N..1)
+
         def adams(args):
             x, ets, n_ets = args
-            noise_ = call_params(t1, x)
+            noise_ = call_params(t1, x, step)
             ets = jnp.roll(ets, -1, axis=0).at[3].set(noise_)
             noise = (1.0 / 24) * (55 * ets[3] - 59 * ets[2]
                                   + 37 * ets[1] - 9 * ets[0])
@@ -253,14 +250,14 @@ def _pndm_sampling(sde, score_fn, rng, num_samples, shape, N, time_eps):
 
         def runge_kutta(args):
             x, ets, n_ets = args
-            e_1 = call_params(t1, x)
+            e_1 = call_params(t1, x, step)
             ets = jnp.roll(ets, -1, axis=0).at[3].set(e_1)
             x_2 = transfer(x, t1, t_mid, e_1)
-            e_2 = call_params(t_mid, x_2)
+            e_2 = call_params(t_mid, x_2, step)
             x_3 = transfer(x, t1, t_mid, e_2)
-            e_3 = call_params(t_mid, x_3)
+            e_3 = call_params(t_mid, x_3, step)
             x_4 = transfer(x, t1, t3, e_3)
-            e_4 = call_params(t3, x_4)
+            e_4 = call_params(t3, x_4, step)
             et = (1.0 / 6) * (e_1 + 2 * e_2 + 2 * e_3 + e_4)
             return et, ets, n_ets + 1
 
@@ -321,7 +318,9 @@ def sample_model_ode(
 
     def ode_func(t, x):
         tv = jnp.full((num_samples,), t)
-        score, _ = score_fn(tv, x)
+        # adaptive solver: no fixed schedule, so no step index (see module
+        # docstring — step-dependent fast-path score_fns are invalid here)
+        score, _ = score_fn(tv, x, None)
         return sde.f(tv)[:, None, None] * x \
             - 0.5 * sde.g2(tv)[:, None, None] * score
 

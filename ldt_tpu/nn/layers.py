@@ -46,7 +46,11 @@ def get_activation(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
         "leakyrelu0.2": lambda x: jax.nn.leaky_relu(x, 0.2),
         "relu": jax.nn.relu,
     }
-    return table.get(name, jax.nn.relu)
+    if name not in table:
+        # the reference raises on unknown names (tools/utils.py:123-124);
+        # a silent relu fallback would train the wrong activation on a typo
+        raise NotImplementedError(f"activation not supported: {name}")
+    return table[name]
 
 
 def make_norm(norm: Optional[str], features: int, groups: int = 16,

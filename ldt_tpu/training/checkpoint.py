@@ -45,10 +45,55 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
-def restore_into(template, loaded):
-    """Shape a loaded raw dict back into the structure of `template`
-    (flax.serialization.from_state_dict)."""
-    return serialization.from_state_dict(template, loaded)
+def _merge_non_strict(template_sd, loaded):
+    """Overlay `loaded` onto the template state dict: keys present in both
+    are taken from `loaded`, keys missing from `loaded` keep the template
+    value, extra keys in `loaded` are dropped (torch `strict=False`
+    semantics, trainer/Latent_SDE_Trainer.py:249)."""
+    if isinstance(template_sd, dict):
+        if not isinstance(loaded, dict):
+            return loaded
+        return {k: (_merge_non_strict(v, loaded[k]) if k in loaded else v)
+                for k, v in template_sd.items()}
+    return loaded
+
+
+def _check_no_unexpected(template_sd, loaded, prefix=""):
+    if isinstance(template_sd, dict) and isinstance(loaded, dict):
+        extra = set(loaded) - set(template_sd)
+        if extra:
+            raise ValueError(
+                f"unexpected checkpoint key(s) at '{prefix or '/'}': "
+                f"{sorted(extra)} (pass strict=False to ignore)")
+        for k, v in template_sd.items():
+            if k in loaded:
+                _check_no_unexpected(v, loaded[k], f"{prefix}/{k}")
+
+
+def restore_into(template, loaded, strict: bool = True):
+    """Shape a loaded raw dict back into the structure of `template`.
+
+    strict=True: exact structural match required (flax from_state_dict).
+    strict=False: missing keys keep the template's values and unexpected
+    keys are ignored — the reference's `load_state_dict(..., strict)` knob
+    (trainer/Latent_SDE_Trainer.py:249).
+
+    Loaded leaves are cast back to the template leaf dtype when they differ
+    (checkpoints may store Adam moments in bf16 — see `save_checkpoint`).
+    """
+    if strict:
+        _check_no_unexpected(serialization.to_state_dict(template), loaded)
+    else:
+        loaded = _merge_non_strict(serialization.to_state_dict(template),
+                                   loaded)
+    restored = serialization.from_state_dict(template, loaded)
+
+    def recast(t, r):
+        if hasattr(t, "dtype") and hasattr(r, "dtype") and t.dtype != r.dtype:
+            return np.asarray(r).astype(t.dtype)
+        return r
+
+    return jax.tree_util.tree_map(recast, template, restored)
 
 
 def latest_epoch_from_csv(save_path: str) -> Optional[int]:

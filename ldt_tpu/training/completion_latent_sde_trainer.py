@@ -98,7 +98,7 @@ class Trainer(LatentSDETrainer):
             cond_enc = model.apply(variables, condition,
                                    method=Score.encode_condition)
 
-            def score_fn(t, x):
+            def score_fn(t, x, step=None):
                 # fused Pallas attention applies to the cross-attention too:
                 # condition tokens == z_scale == query tokens
                 p = sample_model.apply(variables, x, t, None, cond_enc)

@@ -229,7 +229,8 @@ class Trainer(BaseTrainer):
         ckpt = load_checkpoint(path)
         assert self.state is not None, (
             "call maybe_init(first_batch) before resume")
-        restored = restore_into({"state": self.state}, ckpt["state"])
+        restored = restore_into({"state": self.state}, ckpt["state"],
+                                strict=strict)
         new_state = restored["state"]
         if not load_optim and not finetune:
             new_state = new_state.replace(opt_state=self.state.opt_state)

@@ -204,7 +204,7 @@ class Trainer(LatentSDETrainer):
         assert self.state is not None and self.comp_state is not None
         restored = restore_into(
             {"score": self.state, "compressor_state": self.comp_state},
-            ckpt["state"])
+            ckpt["state"], strict=strict)
         self.state = restored["score"]
         self.comp_state = restored["compressor_state"]
         self._sync_comp_vars()

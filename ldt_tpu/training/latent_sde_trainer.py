@@ -193,7 +193,7 @@ class Trainer(BaseTrainer):
                     std = sde.std(t)[:, None, None]
                     return -p / std, p
             else:
-                def score_fn(t, x):
+                def score_fn(t, x, step=None):
                     p = sample_model.apply({"params": params}, x, t, label,
                                            condition)
                     std = sde.std(t)[:, None, None]
@@ -336,7 +336,7 @@ class Trainer(BaseTrainer):
             "call maybe_init(first_batch) before resume")
         restored = restore_into(
             {"score": self.state, "compressor": self.comp_vars},
-            ckpt["state"])
+            ckpt["state"], strict=strict)
         new_state = restored["score"]
         if finetune or not load_optim:
             new_state = new_state.replace(opt_state=self.state.opt_state)

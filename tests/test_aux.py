@@ -87,3 +87,23 @@ class TestStepTimer:
         st = t.tick()
         assert st is not None and st > 0
         assert t.rate(64) > 0
+
+
+class TestConfigLoudness:
+    """Unknown registry names must raise, not silently fall back
+    (reference tools/utils.py raises on unknown activations)."""
+
+    def test_get_activation_known(self):
+        from ldt_tpu.nn.layers import get_activation
+        assert get_activation(None)(2.0) == 2.0
+        assert float(get_activation("relu")(jnp.asarray(-1.0))) == 0.0
+
+    def test_get_activation_unknown_raises(self):
+        from ldt_tpu.nn.layers import get_activation
+        with pytest.raises(NotImplementedError):
+            get_activation("gelu_typo")
+
+    def test_make_norm_unknown_raises(self):
+        from ldt_tpu.nn.layers import make_norm
+        with pytest.raises(TypeError):
+            make_norm("rms_norm", 16)

@@ -137,7 +137,7 @@ def oracle_score_fn(sde):
     correct sampler must map N(0,I) noise to ~N(0,I) samples.
     """
 
-    def score_fn(t, x):
+    def score_fn(t, x, step=None):
         std = sde.std(t)[:, None, None]
         params = std * x
         return -params / std, params

@@ -59,3 +59,45 @@ def test_sampler_step_indexed_score_fn():
     assert out.shape == (4, 2, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert len(seen_steps) >= 1  # score_fn was invoked with a step arg
+
+
+def test_sampler_step_protocol_survives_wrappers():
+    """The scan index is an explicit positional argument, so partials and
+    *args/**kwargs decorators around score_fn keep the step-indexed fast
+    path intact (the old inspect-based detection broke under wrappers)."""
+    import functools
+
+    from ldt_tpu.diffusion import DiffusionVPSDE
+    from ldt_tpu.diffusion.sampling import sample_discrete
+    from ldt_tpu.tools.io import dict2namespace as ns
+
+    N = 20
+    sde = DiffusionVPSDE(ns(dict(
+        beta_start=0.1, beta_end=20.0, sde_type="vpsde", sigma2_0=0.0,
+        time_eps=0.01, sample_time_eps=1e-6, sample_mode="discrete",
+        train_N=N, sample_N=N)))
+    gains = jnp.linspace(0.5, 1.5, N)  # step-dependent: wrong step => wrong x
+
+    def raw(t, x, step, gain):
+        std = sde.std(t)[:, None, None]
+        params = gain * gains[step] * std * x
+        return -params / std, params
+
+    kw = dict(rng=jax.random.key(7), num_samples=4, shape=(2, 3), N=N,
+              predictor="ancestral", time_eps=1e-6)
+    direct = sample_discrete(sde, lambda t, x, s: raw(t, x, s, 1.0), **kw)
+
+    partial_fn = functools.partial(raw, gain=1.0)
+    via_partial = sample_discrete(sde, partial_fn, **kw)
+
+    def decorate(fn):
+        def wrapped(*args, **kwargs):
+            return fn(*args, **kwargs)
+        return wrapped
+
+    via_decorator = sample_discrete(
+        sde, decorate(lambda t, x, s: raw(t, x, s, 1.0)), **kw)
+
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_partial))
+    np.testing.assert_array_equal(np.asarray(direct),
+                                  np.asarray(via_decorator))
