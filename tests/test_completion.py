@@ -160,3 +160,30 @@ class TestCompletionTrainers:
         res = t.valsample(loaders["test_loader"])
         assert np.isfinite(res["cd"])
         assert 0.0 <= res["f1score"] <= 1.0
+
+
+class TestViPCViewAlign:
+    def test_preload_view_align_matches_nonpreload(self, vipc_root):
+        """view_align under preload (surplus over the reference, which
+        raises NotImplementedError there — ViPC.py:216-219) must produce
+        exactly the non-preload aligned fetch."""
+        kw = dict(data_path=str(vipc_root), status="train", category="plane",
+                  view_align=True)
+        ds_pre = ViPCDataLoader(str(vipc_root / "train_list2.txt"),
+                                preload=True, **kw)
+        ds_lazy = ViPCDataLoader(str(vipc_root / "train_list2.txt"),
+                                 preload=False, **kw)
+        for idx in range(len(ds_pre)):
+            a, b = ds_pre[idx], ds_lazy[idx]
+            np.testing.assert_array_equal(a["views"], b["views"])
+            np.testing.assert_array_equal(a["pc"], b["pc"])
+            np.testing.assert_array_equal(a["pc_part"], b["pc_part"])
+
+    def test_preload_random_view_uses_true_view_ids(self, vipc_root):
+        ds = ViPCDataLoader(str(vipc_root / "train_list2.txt"),
+                            str(vipc_root), status="train", category="plane",
+                            preload=True, view_align=False)
+        fname = ds.key[0].split(";")[1]
+        assert ds.view_ids[fname] == list(range(24))
+        item = ds[0]
+        assert item["views"].shape == (224, 224, 3)
