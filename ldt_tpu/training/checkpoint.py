@@ -1,48 +1,255 @@
-"""Checkpoint save/load: single-file msgpack pytrees.
+"""Checkpoint save/load: msgpack manifests + raw-byte shards, streamed.
 
 Mirrors the reference's torch.save dict contract (trainer/base.py:51-61):
-one file per epoch `checkpt_{epoch}.msgpack` holding {cfg, state, epoch, itr,
-time}; "latest epoch" resolution reads the last row of `training.csv`
-(trainer/Compressor_Trainer.py:163-167).
+one checkpoint per epoch `checkpt_{epoch}.msgpack` holding {cfg, state,
+epoch, itr, time}; "latest epoch" resolution reads the last row of
+`training.csv` (trainer/Compressor_Trainer.py:163-167).
+
+Two on-disk formats, sniffed transparently at load:
+
+  * small states (< `shard_threshold` bytes): ONE msgpack file, exactly the
+    round-1 format — cheap, human-simple, test-friendly.
+  * large states (the flagship stage-2 dual checkpoint is ~7.3 GB f32):
+    `checkpt_{epoch}.msgpack` becomes a small manifest (leaf paths, dtypes,
+    shapes, chunk offsets) and the tensor bytes land in N sibling
+    `checkpt_{epoch}.msgpack.shardK` files written by a thread pool. Big
+    leaves are NOT round-tripped through msgpack (which would buffer the
+    whole 7.3 GB blob in Python before the first byte hits disk).
+
+Transfer-volume optimizations for the flagship save:
+  * `moments_bf16=True` casts Adam mu/nu to bfloat16 ON DEVICE (one jitted
+    cast) before the device->host pull — the moments are half the dual
+    checkpoint, so this halves their bytes through the transport. Restore
+    recasts to the template dtype (`restore_into`); params/EMA stay f32
+    bit-exact.
+  * the whole tree is pulled with ONE `jax.device_get` (batched transfer)
+    instead of a per-leaf `np.asarray` loop.
+  * `async_write=True` runs the host-side serialization + file IO on a
+    background thread so the training step path only pays the device->host
+    transfer; `wait_pending_saves()` joins (called automatically before the
+    next save and at interpreter exit).
 """
 
 from __future__ import annotations
 
+import atexit
 import csv
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 from ldt_tpu.tools.io import namespace2dict
 
+_SHARD_FORMAT = "ldt-sharded-v1"
+_DEFAULT_SHARD_THRESHOLD = 256 * 1024 * 1024  # single-file below this
+_SHARD_TARGET_BYTES = 512 * 1024 * 1024       # per-chunk target
+_MAX_SHARDS = 16
 
-def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+_pending_saves: list = []
+_pending_lock = threading.Lock()
+
+
+def wait_pending_saves() -> None:
+    """Join any in-flight async checkpoint writes (re-raises their errors)."""
+    with _pending_lock:
+        pending, _pending_saves[:] = _pending_saves[:], []
+    for t in pending:
+        t.join()
+        if getattr(t, "error", None) is not None:
+            raise t.error
+
+
+atexit.register(wait_pending_saves)
+
+
+def _is_moment_path(path_keys) -> bool:
+    return any(k in ("mu", "nu") for k in path_keys)
+
+
+def _flatten_sd(sd, prefix=()):
+    """Yield (path_tuple, leaf) for a nested state dict."""
+    if isinstance(sd, dict):
+        for k, v in sd.items():
+            yield from _flatten_sd(v, prefix + (str(k),))
+    else:
+        yield prefix, sd
+
+
+def _unflatten_sd(items):
+    root: Dict[str, Any] = {}
+    for path, leaf in items:
+        node = root
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+    return root
+
+
+@jax.jit
+def _cast_moments_bf16(tree):
+    # jitted so the cast happens on device, before the host pull
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
+def _gather_host_state(state_tree, moments_bf16: bool):
+    """to_state_dict + optional on-device bf16 moment cast + ONE device_get."""
+    sd = serialization.to_state_dict(state_tree)
+    if moments_bf16:
+        items = list(_flatten_sd(sd))
+        moment_paths = [p for p, v in items if _is_moment_path(p)
+                        and hasattr(v, "dtype") and v.dtype == jnp.float32]
+        if moment_paths:
+            moment_set = set(moment_paths)
+            casted = _cast_moments_bf16(
+                {"/".join(p): v for p, v in items if p in moment_set})
+            sd = _unflatten_sd(
+                [(p, casted["/".join(p)]) if p in moment_set else (p, v)
+                 for p, v in items])
+    return jax.device_get(sd)
+
+
+def _write_file_atomic(path: str, write_fn) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_fn(f)
+    os.replace(tmp, path)
+
+
+def _save_sharded(path: str, host_sd, meta: Dict[str, Any]) -> None:
+    items = [(p, np.asarray(v)) for p, v in _flatten_sd(host_sd)]
+    big = [(p, v) for p, v in items if v.nbytes >= 1 << 20]
+    small = [(p, v) for p, v in items if v.nbytes < 1 << 20]
+    total = sum(v.nbytes for _, v in big)
+    nshards = max(1, min(_MAX_SHARDS,
+                         (total + _SHARD_TARGET_BYTES - 1)
+                         // _SHARD_TARGET_BYTES))
+    # greedy size-balanced assignment
+    shard_bytes = [0] * nshards
+    shard_items: list = [[] for _ in range(nshards)]
+    for p, v in sorted(big, key=lambda kv: -kv[1].nbytes):
+        i = min(range(nshards), key=lambda j: shard_bytes[j])
+        shard_items[i].append((p, v))
+        shard_bytes[i] += v.nbytes
+
+    leaves = []
+    for i, chunk in enumerate(shard_items):
+        offset = 0
+        for p, v in chunk:
+            leaves.append({"path": list(p), "dtype": v.dtype.name,
+                           "shape": list(v.shape), "shard": i,
+                           "offset": offset, "nbytes": v.nbytes})
+            offset += v.nbytes
+
+    def write_shard(i):
+        def write(f):
+            for _, v in shard_items[i]:
+                try:
+                    f.write(np.ascontiguousarray(v).data)  # zero-copy
+                except ValueError:
+                    # bf16 etc. don't implement the buffer protocol
+                    f.write(v.tobytes())
+        _write_file_atomic(f"{path}.shard{i}", write)
+
+    with ThreadPoolExecutor(max_workers=min(8, nshards)) as pool:
+        list(pool.map(write_shard, range(nshards)))
+
+    manifest = dict(meta)
+    manifest.update({
+        "format": _SHARD_FORMAT,
+        "nshards": nshards,
+        "leaves": leaves,
+        # small leaves (scalars, counts, tiny tables) ride in the manifest
+        "state": _unflatten_sd(small),
+    })
+    _write_file_atomic(path, lambda f: f.write(
+        serialization.msgpack_serialize(manifest)))
+    for j in range(nshards, _MAX_SHARDS):  # drop stale shards from prior save
+        stale = f"{path}.shard{j}"
+        if os.path.exists(stale):
+            os.remove(stale)
 
 
 def save_checkpoint(path: str, state_tree: Dict[str, Any], cfg=None,
-                    epoch: int = 0, itr: int = 0, time: float = 0.0) -> None:
-    """Serialize {cfg, <state_tree>, epoch, itr, time} to `path`."""
-    payload = {
+                    epoch: int = 0, itr: int = 0, time: float = 0.0,
+                    moments_bf16: bool = False, async_write: bool = False,
+                    shard_threshold: int = _DEFAULT_SHARD_THRESHOLD) -> None:
+    """Serialize {cfg, <state_tree>, epoch, itr, time} to `path`.
+
+    See module docstring for the format selection and the flagship-scale
+    optimizations (`moments_bf16`, `async_write`).
+    """
+    wait_pending_saves()  # never interleave two writes to the same tree
+    host_sd = _gather_host_state(state_tree, moments_bf16)
+    total = sum(np.asarray(v).nbytes for _, v in _flatten_sd(host_sd))
+    meta = {
         "cfg": namespace2dict(cfg) if cfg is not None else {},
-        "state": _to_host(serialization.to_state_dict(state_tree)),
         "epoch": int(epoch),
         "itr": int(itr),
         "time": float(time),
     }
-    blob = serialization.msgpack_serialize(payload)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+
+    def write():
+        if total >= shard_threshold:
+            _save_sharded(path, host_sd, meta)
+        else:
+            payload = dict(meta)
+            payload["state"] = host_sd
+            _write_file_atomic(path, lambda f: f.write(
+                serialization.msgpack_serialize(payload)))
+
+    if not async_write:
+        write()
+        return
+
+    def run():
+        try:
+            write()
+        except BaseException as e:  # surfaced by wait_pending_saves
+            t.error = e
+
+    t = threading.Thread(target=run, name=f"ckpt-write:{path}", daemon=False)
+    t.error = None
+    with _pending_lock:
+        _pending_saves.append(t)
+    t.start()
+
+
+def _load_sharded(path: str, manifest: Dict[str, Any]) -> Dict[str, Any]:
+    shards = {}
+    for i in range(int(manifest["nshards"])):
+        with open(f"{path}.shard{i}", "rb") as f:
+            shards[i] = f.read()
+    items = list(_flatten_sd(manifest.get("state", {})))
+    for leaf in manifest["leaves"]:
+        dtype = (np.dtype(jnp.bfloat16) if leaf["dtype"] == "bfloat16"
+                 else np.dtype(leaf["dtype"]))
+        buf = shards[int(leaf["shard"])]
+        o, n = int(leaf["offset"]), int(leaf["nbytes"])
+        arr = np.frombuffer(buf, dtype=dtype, count=n // dtype.itemsize,
+                            offset=o).reshape(leaf["shape"])
+        items.append((tuple(leaf["path"]), arr))
+    return _unflatten_sd(items)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load either format; returns {cfg, state, epoch, itr, time}."""
+    wait_pending_saves()
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        payload = serialization.msgpack_restore(f.read())
+    if isinstance(payload, dict) and payload.get("format") == _SHARD_FORMAT:
+        state = _load_sharded(path, payload)
+        return {"cfg": payload.get("cfg", {}), "state": state,
+                "epoch": payload["epoch"], "itr": payload["itr"],
+                "time": payload["time"]}
+    return payload
 
 
 def _merge_non_strict(template_sd, loaded):

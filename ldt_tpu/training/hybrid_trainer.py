@@ -191,7 +191,7 @@ class Trainer(LatentSDETrainer):
         save_checkpoint(path, {"score": self.state,
                                "compressor_state": self.comp_state},
                         cfg=self.cfg, epoch=self.epoch, itr=self.itr,
-                        time=self.time)
+                        time=self.time, moments_bf16=True, async_write=True)
 
     def resume(self, epoch=None, strict=False, load_optim=True,
                finetune=False, pretrain=None, **_):

@@ -321,10 +321,13 @@ class Trainer(BaseTrainer):
     # --------------------------------------------------------- checkpoints
     def save(self):
         path = checkpoint_path(self.cfg.log.save_path, self.epoch)
+        # flagship dual state is ~7.3 GB f32: stream it — bf16 Adam moments
+        # (halves their transfer), sharded parallel writes, serialization off
+        # the step path (params/EMA stay f32 bit-exact; restore recasts).
         save_checkpoint(path, {"score": self.state,
                                "compressor": self.comp_vars},
                         cfg=self.cfg, epoch=self.epoch, itr=self.itr,
-                        time=self.time)
+                        time=self.time, moments_bf16=True, async_write=True)
 
     def resume(self, epoch=None, strict=False, load_optim=True,
                finetune=False, pretrain=None, **_):
