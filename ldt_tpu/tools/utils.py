@@ -22,7 +22,13 @@ def normalize_point_clouds(pcs):
 
 def common_init(seed: int) -> jax.Array:
     """Global seeding (tools/utils.py:269-276). Returns the root jax PRNG key;
-    JAX randomness is threaded explicitly from here (no global device RNG)."""
+    JAX randomness is threaded explicitly from here (no global device RNG).
+
+    Also wires multi-host DCN when the standard jax.distributed env is
+    present (JAX_COORDINATOR_ADDRESS etc.) — a no-op on single-host runs."""
+    from ldt_tpu.parallel.tp import initialize_distributed
+
+    initialize_distributed()
     random.seed(seed)
     np.random.seed(seed)
     return jax.random.key(seed)

@@ -25,8 +25,14 @@ class BaseTrainer:
         self.epoch = 1
         self.time = 0.0
         self.tmp = time.time()
-        self.mesh = mesh if mesh is not None else (
-            data_mesh() if jax.device_count() > 1 else None)
+        if mesh is None and jax.device_count() > 1:
+            mp = int(getattr(cfg.common, "model_parallel", 1) or 1)
+            if mp > 1:
+                from ldt_tpu.parallel.tp import make_mesh
+                mesh = make_mesh(mp)  # 2-D data x model (see parallel/tp.py)
+            else:
+                mesh = data_mesh()
+        self.mesh = mesh
         self.lr_fn = make_lr_fn(cfg.opt.lr, cfg.opt.warmup_iters,
                                 cfg.common.epochs)
         self.base_lr = cfg.opt.lr  # mutable: NaN watchdog halves it

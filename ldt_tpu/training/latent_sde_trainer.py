@@ -37,6 +37,11 @@ from ldt_tpu.diffusion.sampling import sample_discrete, sample_model_ode
 from ldt_tpu.eval import compute_all_metrics
 from ldt_tpu.models import Compressor, Score
 from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.parallel.tp import (
+    has_model_axis,
+    shard_replicated,
+    shard_train_state,
+)
 from ldt_tpu.training.base import BaseTrainer
 from ldt_tpu.training.checkpoint import (
     checkpoint_path,
@@ -80,10 +85,13 @@ class Trainer(BaseTrainer):
         self.comp_vars = None  # {'params', 'batch_stats'} of the compressor
         # sampling twin of the score net: same params, Pallas attention core
         # on TPU (ldt_tpu/ops/pallas_attention.py). Training keeps the XLA
-        # attention (differentiable).
+        # attention (differentiable). Under tensor parallelism the XLA path
+        # is used everywhere (GSPMD partitions it; the Pallas kernel assumes
+        # unsharded heads).
         self.sample_model = Score(
             cfg.score, dtype=model.dtype,
-            fused_attention=jax.default_backend() == "tpu")
+            fused_attention=(jax.default_backend() == "tpu"
+                             and not has_model_axis(self.mesh)))
         self._build_steps()
 
     # ------------------------------------------------------------------ jit
@@ -244,6 +252,18 @@ class Trainer(BaseTrainer):
             pts = jnp.asarray(batch["tr_points"][:b])
             self.comp_vars = jax.jit(self.compressor.init)(
                 {"params": k1, "sample": k2}, pts, label=label)
+        self._place_state()
+
+    def _place_state(self):
+        """Tensor-parallel placement: DiT weights + their Adam moments/EMA
+        sharded over the mesh's `model` axis (ldt_tpu/parallel/tp.py); the
+        compressor stays replicated. No-op without a model axis."""
+        if not has_model_axis(self.mesh):
+            return
+        if self.state is not None:
+            self.state = shard_train_state(self.state, self.mesh)
+        if self.comp_vars is not None:
+            self.comp_vars = shard_replicated(self.comp_vars, self.mesh)
 
     # -------------------------------------------------------------- update
     def update(self, data, condition=None):
@@ -348,6 +368,7 @@ class Trainer(BaseTrainer):
             new_state = new_state.replace(opt_state=self.state.opt_state)
         self.state = new_state
         self.comp_vars = restored["compressor"]
+        self._place_state()
         if finetune:
             self.epoch, self.itr = 1, 0
         else:
@@ -366,3 +387,4 @@ class Trainer(BaseTrainer):
         if self.comp_vars is not None:
             comp_vars = restore_into(self.comp_vars, comp_vars)
         self.comp_vars = comp_vars
+        self._place_state()

@@ -69,3 +69,102 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    """Library TP (ldt_tpu/parallel/tp.py): 2-D data x model mesh, Megatron
+    specs on the DiT block weights, trainer integration (VERDICT r1 #3)."""
+
+    def _cfg(self, tmp_path):
+        from tests.test_training import make_cfg
+
+        cfg = make_cfg(tmp_path)
+        cfg.common.model_parallel = 2
+        return cfg
+
+    def test_make_mesh_shapes(self):
+        from ldt_tpu.parallel.tp import has_model_axis, make_mesh
+
+        m = make_mesh(2)
+        assert dict(m.shape) == {"data": 4, "model": 2}
+        assert has_model_axis(m)
+        m1 = make_mesh(1)
+        assert dict(m1.shape) == {"data": 8, "model": 1}
+        assert not has_model_axis(m1)
+        with pytest.raises(ValueError):
+            make_mesh(3)
+
+    def test_param_specs_megatron_pairing(self):
+        from jax.sharding import PartitionSpec as P
+
+        from ldt_tpu.models import Score
+        from ldt_tpu.parallel.tp import make_mesh, param_specs
+        from tests.test_training import make_cfg
+
+        cfg = make_cfg("/tmp")  # only .score is used
+        model = Score(cfg.score)
+        x = jnp.zeros((2, 8, 8))
+        params = jax.eval_shape(
+            lambda k: model.init(k, x, jnp.ones((2,))),
+            jax.random.key(0))["params"]
+        specs = param_specs(params, make_mesh(2))
+        blk = specs["transformer_0"]["attn"]
+        assert blk["fc_q"]["kernel"] == P(None, "model")     # column
+        assert blk["fc_q"]["bias"] == P("model")
+        assert blk["fc_kv"]["kernel"] == P(None, "model")
+        assert blk["fc_o"]["kernel"] == P("model", None)     # row
+        assert blk["fc_o"]["bias"] == P()
+        mlp = specs["transformer_0"]["mlp"]
+        assert mlp["Dense_0"]["kernel"] == P(None, "model")
+        assert mlp["Dense_1"]["kernel"] == P("model", None)
+        assert specs["transformer_0"]["adaLN"]["kernel"] == P()
+
+    def test_trainer_tp_step_and_sample(self, tmp_path):
+        """Full stage-2 train step + sampling on a data x model mesh through
+        the trainer's own config knob (common.model_parallel)."""
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.parallel.tp import has_model_axis
+        from ldt_tpu.training import latent_sde_trainer
+        from tests.test_training import N_PTS, fake_batch
+
+        cfg = self._cfg(tmp_path)
+        tr = latent_sde_trainer.Trainer(cfg, Score(cfg.score),
+                                        Compressor(cfg.compressor))
+        assert has_model_axis(tr.mesh)
+        batch = fake_batch()
+        with tr.mesh:
+            for _ in range(2):
+                loss = tr.update(batch)
+                assert np.isfinite(float(loss))
+            # DiT weights + their Adam moments actually sharded over `model`
+            w = tr.state.params["transformer_0"]["attn"]["fc_q"]["kernel"]
+            assert "model" in str(w.sharding.spec)
+            mu = jax.tree_util.tree_leaves(
+                tr.state.opt_state[-1].mu["transformer_0"]["attn"]["fc_q"])
+            assert any("model" in str(m.sharding.spec) for m in mu)
+            smp, eps = tr.sample(num_samples=4)
+        assert smp.shape == (4, N_PTS, 3)
+        assert np.isfinite(np.asarray(smp)).all()
+
+    def test_tp_matches_single_device_loss(self, tmp_path):
+        """Same rng + data: TP-sharded train step computes the same loss as
+        the replicated one (GSPMD partitioning must not change the math)."""
+        import jax.random as jr
+
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.training import latent_sde_trainer
+        from tests.test_training import fake_batch, make_cfg
+
+        batch = fake_batch()
+        losses = []
+        for mp in (1, 2):
+            cfg = make_cfg(tmp_path / f"mp{mp}")
+            cfg.common.model_parallel = mp
+            tr = latent_sde_trainer.Trainer(
+                cfg, Score(cfg.score), Compressor(cfg.compressor),
+                rng=jr.key(42))
+            with tr.mesh:
+                l1 = tr.update(batch)
+                l2 = tr.update(batch)
+            losses.append((float(l1), float(l2)))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4)
