@@ -46,7 +46,7 @@ def main():
     fused = os.environ.get("LDT_BENCH_FUSED_ATTN", "1") == "1" and \
         jax.default_backend() == "tpu"
     score = Score(scfg, dtype=jnp.bfloat16, fused_attention=fused)
-    compressor = Compressor(ccfg, dtype=jnp.bfloat16)
+    compressor = Compressor(ccfg, dtype=jnp.bfloat16, fused_attention=fused)
 
     rng = jax.random.key(0)
     k1, k2, k3, k4 = jax.random.split(rng, 4)

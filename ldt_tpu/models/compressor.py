@@ -240,6 +240,7 @@ class Encoder(nn.Module):
     dropout_p: float = 0.0
     num_layers: int = 1
     AdaLN: bool = True
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -251,7 +252,8 @@ class Encoder(nn.Module):
                 self.dim_in, dim_c=self.p_dim, num_heads=self.num_heads,
                 norm=self.norm, mlp_ratio=self.mlp_ratio,
                 dropout_att=self.dropout_p, dropout_mlp=self.dropout_p,
-                AdaLN=self.AdaLN, dtype=self.dtype, name=f"att{i}",
+                AdaLN=self.AdaLN, fused_attention=self.fused_attention,
+                dtype=self.dtype, name=f"att{i}",
             )(x, x, pos, deterministic=deterministic)
         o = FinalLayer(self.dim_in, dim_c=self.p_dim, norm=self.norm,
                        dtype=self.dtype, name="conv_out")(x, pos)
@@ -275,12 +277,14 @@ class DecoderBlock(nn.Module):
     min_sigma: float = -30.0
     act: Optional[str] = None
     c_dim: Optional[int] = None
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         common = dict(num_heads=self.num_heads, norm=self.norm,
                       mlp_ratio=self.mlp_ratio, dropout_att=self.dropout_p,
-                      act=self.act, dtype=self.dtype)
+                      act=self.act, fused_attention=self.fused_attention,
+                      dtype=self.dtype)
         self.att = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
         self.prior_dense = nn.Dense(2 * self.dim_z, dtype=self.dtype)
         self.att1 = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
@@ -312,6 +316,10 @@ class Compressor(nn.Module):
 
     cfg: Any
     dtype: Dtype = jnp.float32
+    # Pallas attention core for the set-transformer blocks, incl. the
+    # 2048-query x 32-key decode cross-attention (Network.py:80-83);
+    # differentiable (custom VJP), so valid for training too.
+    fused_attention: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -342,14 +350,17 @@ class Compressor(nn.Module):
             Encoder(cfg.hidden_dim, cfg.p_dim, cfg.num_heads, norm=cfg.norm,
                     dropout_p=cfg.encoder_dropout_p,
                     num_layers=cfg.encoder_layers, mlp_ratio=cfg.mlp_ratio,
-                    AdaLN=cfg.AdaLN, dtype=self.dtype)
+                    AdaLN=cfg.AdaLN, fused_attention=self.fused_attention,
+                    dtype=self.dtype)
             for _ in range(cfg.n_layers)
         ]
         self.decoder = [
             DecoderBlock(cfg.hidden_dim, cfg.z_dim, cfg.num_heads,
                          norm=cfg.norm, dropout_p=cfg.decoder_dropout_p,
                          mlp_ratio=cfg.mlp_ratio, min_sigma=cfg.min_sigma,
-                         act=cfg.decoder_act, c_dim=label_dim, dtype=self.dtype)
+                         act=cfg.decoder_act, c_dim=label_dim,
+                         fused_attention=self.fused_attention,
+                         dtype=self.dtype)
             for _ in range(cfg.n_layers)
         ]
         self.output_dense = nn.Dense(3, dtype=self.dtype)

@@ -242,14 +242,15 @@ class Attention(nn.Module):
         k, v = kv[..., :d], kv[..., d:]
         b, n, _ = q.shape
         m = k.shape[1]
-        if self.fused_core and n == m:
-            # Pallas kernel: heads folded into rows, no HBM relayouts
-            # (ldt_tpu/ops/pallas_attention.py). Forward-only, used on the
-            # sampling path; params are identical to the XLA path.
-            from ldt_tpu.ops.pallas_attention import fused_attention_core
+        if self.fused_core:
+            # Pallas kernel: per-head lane slices in VMEM, no HBM relayouts,
+            # any N x M, differentiable via a Pallas backward kernel
+            # (ldt_tpu/ops/pallas_attention.py); params identical to the
+            # XLA path.
+            from ldt_tpu.ops.pallas_attention import fused_attention
 
-            att = fused_attention_core(q, k, v, h,
-                                       interpret=jax.default_backend() != "tpu")
+            att = fused_attention(q, k, v, h,
+                                  jax.default_backend() != "tpu")
         else:
             q = q.reshape(b, n, h, dh)
             k = k.reshape(b, m, h, dh)

@@ -8,15 +8,25 @@ attention matmuls. This kernel computes the whole attention core
     out = softmax(q_h k_h^T / sqrt(dh)) v_h   (per head, concatenated)
 
 inside VMEM with ONE program per batch element and no HBM round-trips:
-heads are folded into the row axis ([H*N, dh]) so the score computation is a
-single clean MXU matmul, cross-head blocks are masked to -inf before the
-softmax, and the weighted sum is a second single matmul. The 16x redundant
-flops of the folded [H*N, H*N] score matrix are ~34 MFLOP per element —
-noise next to the removed relayouts.
+per-head 2-D lane slices feed clean MXU matmuls (Mosaic has no general
+in-kernel 3-D transpose, but 2-D lane slicing is free). Supports N != M
+cross-attention — the Compressor's 2048-query x 32-key decode hot path
+(reference model/Compressor/Network.py:80-83) uses the same kernel.
+
+Round 2 adds a custom VJP with a Pallas BACKWARD kernel (same layout
+trick), so the stage-2 *training* step also skips the head relayouts:
+
+    dv_h = w^T g_h
+    dw   = g_h v_h^T
+    ds   = w * (dw - rowsum(dw * w))          (softmax Jacobian)
+    dq_h = ds k_h * scale;  dk_h = ds^T q_h * scale
 
 The projection GEMMs (q/kv/out) stay in XLA where batch x tokens fold into
-MXU-sized matmuls. Forward-only (sampling path); the training path keeps the
-XLA attention, whose backward XLA derives automatically.
+MXU-sized matmuls.
+
+Batch-folding note (kept from round 1): folding G batch elements into the
+row axis with cross-batch masking measured SLOWER on v5e at N=32 (G=1: 458
+clouds/min, G=2: 447, G=4: 448) — one batch element per program.
 """
 
 from __future__ import annotations
@@ -29,80 +39,143 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
-    """Per-head attention entirely in VMEM for a GROUP of batch elements.
+def _softmax_rows(s):
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=1, keepdims=True)
 
-    Constraints shaping the design: Mosaic has no general in-kernel 3-D
-    transpose and no lane-splitting reshape, but leading-dim collapses
-    ([G,N,D] -> [G*N,D]) and 2-D lane slices are fine. So: fold the G batch
-    elements of the block into rows, loop heads over lane slices, compute
-    the [G*N, G*N] score matrix as ONE full-width MXU matmul per head, and
-    mask the cross-batch blocks to -inf before the softmax (the 'wasted'
-    off-diagonal flops are tiny next to the relayouts this avoids)."""
-    g, n, d = q_ref.shape
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int):
+    """Per-head attention entirely in VMEM for one batch element.
+
+    q: [1, N, D]; k, v: [1, M, D]; o: [1, N, D]."""
+    _, n, d = q_ref.shape
+    m = k_ref.shape[1]
     h = num_heads
     dh = d // h
-    gn = g * n
-    q = q_ref[...].reshape(gn, d)  # leading-dim collapse only
-    k = k_ref[...].reshape(gn, d)
-    v = v_ref[...].reshape(gn, d)
+    q = q_ref[...].reshape(n, d)  # leading-dim collapse only
+    k = k_ref[...].reshape(m, d)
+    v = v_ref[...].reshape(m, d)
     scale = dh ** -0.5
-    if g > 1:
-        row_b = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 0) // n
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 1) // n
-        same = row_b == col_b
-    outs = []
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # [G*N, G*N]
-        if g > 1:
-            s = jnp.where(same, s, -jnp.inf)
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s)
-        w = e / jnp.sum(e, axis=1, keepdims=True)
-        outs.append(jnp.dot(w.astype(v.dtype), v[:, sl],
-                            preferred_element_type=jnp.float32))  # [G*N, dh]
+            preferred_element_type=jnp.float32) * scale      # [N, M]
+        w = _softmax_rows(s)
+        o_ref[0, :, sl] = jnp.dot(
+            w.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                num_heads: int):
+    """Backward of `_fwd_kernel` for one batch element (w recomputed in
+    VMEM — cheaper than spilling [N, M] weights to HBM for these token
+    counts)."""
+    _, n, d = q_ref.shape
+    m = k_ref.shape[1]
+    h = num_heads
+    dh = d // h
+    q = q_ref[...].reshape(n, d)
+    k = k_ref[...].reshape(m, d)
+    v = v_ref[...].reshape(m, d)
+    g = g_ref[...].reshape(n, d)
+    scale = dh ** -0.5
     for i in range(h):
-        o_ref[:, :, i * dh:(i + 1) * dh] = (
-            outs[i].reshape(g, n, dh).astype(o_ref.dtype))
+        sl = slice(i * dh, (i + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [N, M]
+        w = _softmax_rows(s)                                  # f32 [N, M]
+        gh = g[:, sl]
+        # dv = w^T g    ([M, N] @ [N, dh])
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            w.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # dw = g v^T    ([N, dh] @ [dh, M])
+        dw = jax.lax.dot_general(
+            gh, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [N, M]
+        ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
+        dsc = ds.astype(q.dtype)
+        dq_ref[0, :, sl] = (jnp.dot(
+            dsc, k[:, sl], preferred_element_type=jnp.float32)
+            * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            dsc, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _block(n, d):
+    return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(q, k, v, num_heads: int, interpret: bool):
+    b, n, d = q.shape
+    m = k.shape[1]
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        grid=(b,),
+        in_specs=[_block(n, d), _block(m, d), _block(m, d)],
+        out_specs=_block(n, d),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_call(q, k, v, g, num_heads: int, interpret: bool):
+    b, n, d = q.shape
+    m = k.shape[1]
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, m, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, m, d), v.dtype)),
+        grid=(b,),
+        in_specs=[_block(n, d), _block(m, d), _block(m, d), _block(n, d)],
+        out_specs=(_block(n, d), _block(m, d), _block(m, d)),
+        interpret=interpret,
+    )(q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    num_heads: int, interpret: bool = False) -> jax.Array:
+    """softmax(q k^T / sqrt(dh)) v per head, heads packed in the last dim.
+
+    q: [B, N, D]; k, v: [B, M, D] (self- or cross-attention, any N, M);
+    returns [B, N, D]. Differentiable: the backward pass is a Pallas kernel
+    too (see module docstring). `interpret=True` runs both kernels in the
+    Pallas interpreter (CPU tests).
+    """
+    return _fwd_call(q, k, v, num_heads, interpret)
+
+
+def _fused_attention_fwd(q, k, v, num_heads, interpret):
+    return _fwd_call(q, k, v, num_heads, interpret), (q, k, v)
+
+
+def _fused_attention_bwd(num_heads, interpret, residuals, g):
+    q, k, v = residuals
+    dq, dk, dv = _bwd_call(q, k, v, g, num_heads, interpret)
+    return dq, dk, dv
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
                          num_heads: int, interpret: bool = False) -> jax.Array:
-    """softmax(q k^T / sqrt(dh)) v per head, heads packed in the last dim.
-
-    q: [B, N, D]; k, v: [B, M, D] with N == M (self- or full cross-attention
-    over equal token counts); returns [B, N, D].
-
-    `interpret=True` runs the kernel in the Pallas interpreter (CPU tests).
-    """
+    """Jitted convenience wrapper around `fused_attention` (round-1 name)."""
     b, n, d = q.shape
     assert k.shape == v.shape and k.shape[0] == b and k.shape[2] == d
-    m = k.shape[1]
-    assert n == m, "fused core currently supports equal token counts"
     assert d % num_heads == 0
-
-    # group size: folding batch elements into rows (G*N-wide score matmuls
-    # with cross-batch masking) was measured SLOWER on v5e at N=32
-    # (G=1: 458 clouds/min, G=2: 447, G=4: 448 — the wasted score flops,
-    # wider f32 softmax, and in-kernel leading-dim reshapes outweigh the
-    # per-program savings). Keep one batch element per program.
-    group = 1
-
-    kernel = functools.partial(_attention_kernel, num_heads=num_heads)
-    block = pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
-        grid=(b // group,),
-        in_specs=[block, block, block],
-        out_specs=block,
-        interpret=interpret,
-    )(q, k, v)
+    return fused_attention(q, k, v, num_heads, interpret)
 
 
 def reference_attention_core(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -44,11 +44,20 @@ class Trainer(BaseTrainer):
         super().__init__(cfg, mesh=mesh)
         self.num_points = cfg.data.tr_max_sample_points
         self.kl_weight = cfg.opt.kl_weight
+        # Pallas attention core on TPU (differentiable — custom VJP covers
+        # the 2048x32 decode cross-attention too); identical param tree.
+        from ldt_tpu.parallel.tp import has_model_axis
+
+        if jax.default_backend() == "tpu" and not has_model_axis(self.mesh):
+            model = Compressor(cfg.model, dtype=model.dtype,
+                               fused_attention=True)
         self.model = model
         self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
                                  cfg.opt.weight_decay,
                                  cfg.opt.grad_norm_clip_value)
         self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
+        # fixed base for the on-device fold_in(base, step) hot-loop keys
+        self.rng, self._base_key = jax.random.split(self.rng)
         self.state: Optional[TrainState] = None
         self._build_steps()
 
@@ -57,7 +66,11 @@ class Trainer(BaseTrainer):
         model, tx, kl_weight = self.model, self.tx, self.kl_weight
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, pts, label, lr, rng):
+        def train_step(state: TrainState, pts, label, lr, base):
+            # key derived on device from the fixed base + step counter: no
+            # host-side random.split per step (~100 ms on the tunnel)
+            rng = jax.random.fold_in(base, state.step)
+
             def loss_fn(params):
                 variables = {"params": params}
                 if state.batch_stats is not None:
@@ -132,9 +145,8 @@ class Trainer(BaseTrainer):
         batch = shard_batch(self.mesh, (pts, label))
         pts, label = batch
         lr = self.current_lr()
-        self.rng, step_rng = jax.random.split(self.rng)
         self.state, loss, kl, rec, max_f = self._train_step(
-            self.state, pts, label, lr, step_rng)
+            self.state, pts, label, lr, self._base_key)
         self.itr += 1
         return loss, kl, rec, max_f
 

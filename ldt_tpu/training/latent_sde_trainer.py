@@ -60,6 +60,16 @@ class Trainer(BaseTrainer):
         self.SDE = make_diffusion(cfg.sde)
         self.sde_type = cfg.sde.sde_type
         self.num_points = cfg.data.tr_max_sample_points
+        # On TPU (and without tensor parallelism — the Pallas kernel assumes
+        # unsharded heads) rebuild the nets with the fused attention core.
+        # Round 2: the core has a custom VJP (Pallas backward kernel), so the
+        # TRAINING step uses it too — param trees are identical either way.
+        fused = (jax.default_backend() == "tpu"
+                 and not has_model_axis(self.mesh))
+        if fused:
+            model = Score(cfg.score, dtype=model.dtype, fused_attention=True)
+            compressor = Compressor(cfg.compressor, dtype=compressor.dtype,
+                                    fused_attention=True)
         self.model = model
         self.compressor = compressor
         self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
@@ -67,6 +77,13 @@ class Trainer(BaseTrainer):
                                  cfg.opt.grad_norm_clip_value)
         self.ema_decay = cfg.opt.ema_decay
         self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
+        # Fixed per-trainer base keys: the hot train/encode steps derive
+        # their randomness as fold_in(base, step) INSIDE the jit, so the
+        # host loop issues zero RNG dispatches per step (an un-jitted
+        # random.split costs ~100 ms on the tunnel transport — CLAUDE.md).
+        # Separate bases so the encode key is never the train key's parent.
+        self.rng, self._base_key, self._enc_base = jax.random.split(
+            self.rng, 3)
 
         # sampling config
         self.sample_time_eps = cfg.sde.sample_time_eps
@@ -83,15 +100,10 @@ class Trainer(BaseTrainer):
 
         self.state: Optional[TrainState] = None
         self.comp_vars = None  # {'params', 'batch_stats'} of the compressor
-        # sampling twin of the score net: same params, Pallas attention core
-        # on TPU (ldt_tpu/ops/pallas_attention.py). Training keeps the XLA
-        # attention (differentiable). Under tensor parallelism the XLA path
-        # is used everywhere (GSPMD partitions it; the Pallas kernel assumes
-        # unsharded heads).
-        self.sample_model = Score(
-            cfg.score, dtype=model.dtype,
-            fused_attention=(jax.default_backend() == "tpu"
-                             and not has_model_axis(self.mesh)))
+        # sampling twin of the score net (historical name — since the core
+        # gained its VJP, train/sample nets are constructed identically)
+        self.sample_model = Score(cfg.score, dtype=model.dtype,
+                                  fused_attention=fused)
         self._build_steps()
 
     # ------------------------------------------------------------------ jit
@@ -120,6 +132,13 @@ class Trainer(BaseTrainer):
         # ~1 MB latent round-trip per step — noise.
         self._encode_step = jax.jit(encode)
 
+        def encode_at_step(comp_vars, pts, base, step, label):
+            # hot-loop variant: key derived on device from (base, step)
+            return encode(comp_vars, pts,
+                          jax.random.fold_in(base, step), label)
+
+        self._encode_at_step = jax.jit(encode_at_step)
+
         def score_loss(params, eps, t, var, e2int, weight, eta, label,
                        condition, train, dropout_rng):
             xt = eps * e2int + jnp.sqrt(var) * eta
@@ -133,7 +152,10 @@ class Trainer(BaseTrainer):
             return jnp.mean(distance * weight)  # weight: [B,1,1] broadcast
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, eps, label, lr, rng):
+        def train_step(state: TrainState, eps, label, lr, base):
+            # per-step key derived on device: fold_in(base, step) — no host
+            # RNG dispatch in the training loop
+            rng = jax.random.fold_in(base, state.step)
             _, k_t, k_eta, k_drop = jax.random.split(rng, 4)
             size = eps.shape[0]
             if discrete:
@@ -272,10 +294,12 @@ class Trainer(BaseTrainer):
         label = self._label_of(data)
         pts, label = shard_batch(self.mesh, (pts, label))
         lr = self.current_lr()
-        self.rng, k = jax.random.split(self.rng)
-        k_enc, _ = jax.random.split(k)
-        eps = self._encode_step(self.comp_vars, pts, k_enc, label)
-        self.state, loss = self._train_step(self.state, eps, label, lr, k)
+        # zero host-side RNG dispatches: both jits fold the on-device step
+        # counter into the fixed base key
+        eps = self._encode_at_step(self.comp_vars, pts, self._enc_base,
+                                   self.state.step, label)
+        self.state, loss = self._train_step(self.state, eps, label, lr,
+                                            self._base_key)
         self.itr += 1
         return loss
 

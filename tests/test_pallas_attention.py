@@ -54,3 +54,113 @@ def test_score_with_fused_attention_matches_standard():
     got = fused.apply(variables, x, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,n,m,d,h", [(2, 32, 32, 128, 4),
+                                       (2, 64, 8, 64, 2),
+                                       (1, 128, 16, 256, 8)])
+def test_cross_attention_matches_reference(b, n, m, d, h):
+    """N != M cross-attention (the 2048x32 Compressor decode shape family,
+    Network.py:80-83)."""
+    from ldt_tpu.ops.pallas_attention import fused_attention
+
+    ks = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, m, d))
+    v = jax.random.normal(ks[2], (b, m, d))
+    want = reference_attention_core(q, k, v, h)
+    got = fused_attention(q, k, v, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("b,n,m,d,h", [(2, 16, 16, 64, 4), (2, 24, 8, 64, 2)])
+def test_fused_attention_grads_match_oracle(b, n, m, d, h):
+    """Custom-VJP (Pallas backward kernel) vs XLA autodiff of the oracle."""
+    from ldt_tpu.ops.pallas_attention import fused_attention
+
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, m, d))
+    v = jax.random.normal(ks[2], (b, m, d))
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q, k, v, h, True)
+        return jnp.sum(jnp.sin(out) * out)
+
+    def loss_ref(q, k, v):
+        out = reference_attention_core(q, k, v, h)
+        return jnp.sum(jnp.sin(out) * out)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=1e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_score_train_step_grads_with_fused_attention():
+    """End-to-end: grads of a Score loss with the fused path == XLA path."""
+    from ldt_tpu.models import Score
+    from ldt_tpu.tools.io import dict2namespace
+
+    cfg = dict2namespace(dict(
+        num_steps=10, z_dim=8, z_scale=16, hidden_size=64, num_heads=4,
+        num_blocks=2, num_categorys=1, t_dim=16, dropout=0.0,
+        norm="layer_norm", learn_sigma=False, act="swish", unet=False,
+        AdaLN=True, condition=False))
+    x = jax.random.normal(jax.random.key(0), (2, cfg.z_scale, cfg.z_dim))
+    t = jnp.full((2,), 0.3)
+    target = jax.random.normal(jax.random.key(4), x.shape)
+    base = Score(cfg)
+    fused = Score(cfg, fused_attention=True)
+    variables = base.init(jax.random.key(1), x, t)
+
+    def loss(params, model):
+        pred = model.apply({"params": params}, x, t)
+        return jnp.mean((pred - target) ** 2)
+
+    g_base = jax.grad(loss)(variables["params"], base)
+    g_fused = jax.grad(loss)(variables["params"], fused)
+    flat_b = jax.tree_util.tree_leaves(g_base)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    for a, c in zip(flat_b, flat_f):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_compressor_fused_forward_and_grads_match():
+    """Compressor with fused attention (incl. the decode cross-attention)
+    shares params, outputs, and gradients with the XLA build."""
+    from ldt_tpu.models import Compressor
+    from ldt_tpu.tools.io import dict2namespace
+
+    cfg = dict2namespace(dict(
+        outsize=64, max_outputs=64, input_dim=3, z_dim=4, z_scales=8,
+        p_dim=16, n_layers=2, hidden_dim=32, num_heads=2, activation="swish",
+        encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+        neighbors=8, encoder_layers=1, mlp_ratio=2.0, min_sigma=-30,
+        cluster_norm="anchor", norm_input=False, pre_group=False,
+        decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+        class_condition=False, num_categorys=1, pretrain_path=None))
+    pts = jax.random.normal(jax.random.key(0), (2, 64, 3))
+    base = Compressor(cfg)
+    fused = Compressor(cfg, fused_attention=True)
+    variables = base.init({"params": jax.random.key(1),
+                           "sample": jax.random.key(2)}, pts)
+
+    def loss(params, model):
+        out = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})}, pts,
+            rngs={"sample": jax.random.key(3)})
+        return jnp.mean(out["set"] ** 2) + jnp.mean(out["all_eps"] ** 2)
+
+    l_base, g_base = jax.value_and_grad(loss)(variables["params"], base)
+    l_fused, g_fused = jax.value_and_grad(loss)(variables["params"], fused)
+    np.testing.assert_allclose(float(l_fused), float(l_base), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(g_base),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
