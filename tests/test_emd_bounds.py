@@ -13,7 +13,7 @@ scipy_opt = pytest.importorskip("scipy.optimize")
 
 import jax.numpy as jnp  # noqa: E402
 
-from ldt_tpu.ops.emd import emd_approx  # noqa: E402
+from ldt_tpu.ops.emd import auction_emd, emd_approx  # noqa: E402
 
 
 def exact_emd(x, y):
@@ -42,3 +42,30 @@ def test_approx_match_zero_for_identical():
     x = (rng.randn(2, 32, 3) * 0.3).astype(np.float32)
     out = np.asarray(emd_approx(jnp.asarray(x), jnp.asarray(x)))
     np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+
+class TestOperatingPoint:
+    """Auction quality at the SHIPPED operating point (2048 pts, eps=0.005,
+    50 iters) — see docs/emd_operating_point.md for the full study."""
+
+    def test_reconstruction_regime_2048(self):
+        """The regime the training loss runs in: decoded cloud vs its own
+        target. Must be near-bijective and within a small conservative
+        margin of the exact Hungarian optimum."""
+        scipy_opt = pytest.importorskip("scipy.optimize")
+        rng = np.random.RandomState(1)
+        n = 2048
+        x = rng.randn(n, 3).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        y = x + 0.02 * rng.randn(n, 3).astype(np.float32)
+        dist, assign = auction_emd(jnp.asarray(x[None]), jnp.asarray(y[None]),
+                                   0.005, 50)
+        a = np.asarray(assign)[0]
+        bijective = len(np.unique(a)) / n
+        assert bijective >= 0.995, f"bijective fraction {bijective}"
+        cost = float(np.sqrt(np.maximum(np.asarray(dist), 0)).mean())
+        d = np.sqrt(((x[:, None] - y[None]) ** 2).sum(-1))
+        ri, ci = scipy_opt.linear_sum_assignment(d)
+        hung = float(d[ri, ci].mean())
+        assert cost >= hung - 1e-6, "assignment cost below the optimum"
+        assert cost <= 1.10 * hung, f"gap too large: {cost} vs {hung}"
