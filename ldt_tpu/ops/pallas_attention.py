@@ -32,6 +32,7 @@ clouds/min, G=2: 447, G=4: 448) — one batch element per program.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,14 +108,89 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
             preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
+def _fwd_kernel_grouped(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, os_, *,
+                        num_heads: int, group: int):
+    """Grouped-heads forward for SELF-attention shapes (N == M, few tokens).
+
+    The per-head loop issues 2*H tiny [N, dh] x [dh, N] matmuls per batch
+    element; with dh = 64 every other head sits at a 64-lane offset (the lane
+    tile is 128 wide), so each op runs on half-tiles and the whole core is
+    instruction-latency-bound (measured: 18.9% of sampler device time for
+    <1% of its FLOPs). Here heads are first copied into ROW-stacked VMEM
+    scratch ([H*N, dh] — 16 strided tile copies, cheap on the VPU), then
+    `group` heads at a time are contracted as ONE full-tile MXU matmul with
+    a block-diagonal -inf mask before the softmax: exp(-inf) = 0 zeroes the
+    cross-head weights, so the grouped W @ V matmul is exact with no
+    extraction step. FLOP inflation is `group`x on the two score/AV matmuls
+    (they carry <1% of model FLOPs), bought back many times over by full
+    128-lane tiles and H/group-fold fewer instruction chains.
+    """
+    _, n, d = q_ref.shape
+    h = num_heads
+    dh = d // h
+    q = q_ref[...].reshape(n, d)
+    k = k_ref[...].reshape(n, d)
+    v = v_ref[...].reshape(n, d)
+    scale = dh ** -0.5
+    for i in range(h):
+        sl = slice(i * dh, (i + 1) * dh)
+        rs = slice(i * n, (i + 1) * n)
+        qs[rs, :] = q[:, sl]
+        ks[rs, :] = k[:, sl]
+        vs[rs, :] = v[:, sl]
+    rpg = n * group  # rows per grouped matmul
+    # block-diagonal mask: row r is head r//n, col c is head c//n
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rpg, rpg), 0) // n
+    cid = jax.lax.broadcasted_iota(jnp.int32, (rpg, rpg), 1) // n
+    neg = jnp.where(rid == cid, 0.0, -1e30).astype(jnp.float32)
+    for j in range(h // group):
+        gs = slice(j * rpg, (j + 1) * rpg)
+        s = jax.lax.dot_general(
+            qs[gs, :], ks[gs, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + neg
+        w = _softmax_rows(s)
+        os_[gs, :] = jnp.dot(
+            w.astype(v.dtype), vs[gs, :],
+            preferred_element_type=jnp.float32).astype(os_.dtype)
+    for i in range(h):
+        o_ref[0, :, i * dh:(i + 1) * dh] = os_[i * n:(i + 1) * n, :]
+
+
 def _block(n, d):
     return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
+# Heads per grouped-matmul in the self-attention forward kernel (see
+# `_fwd_kernel_grouped`); 0 or 1 (the default) = the per-head loop. MEASURED
+# SLOWER on v5e for the flagship DiT (32 tokens x 16 heads x dh 64): 250-step
+# sampler bench per-head 450.6 clouds/min vs group=2 441.1 / group=4 435.1 —
+# the 64-lane-offset stacking copies into scratch cost more than the bigger
+# matmuls save (Mosaic lowers misaligned lane slices via mask+shift chains).
+# Kept as an escape hatch for shapes where heads are 128-lane aligned.
+_GROUP_HEADS = int(os.environ.get("LDT_ATTN_GROUP", "0"))
+
+
 def _fwd_call(q, k, v, num_heads: int, interpret: bool):
     b, n, d = q.shape
     m = k.shape[1]
+    dh = d // num_heads
+    g = _GROUP_HEADS
+    if (g > 1 and n == m and num_heads % g == 0 and n % 8 == 0
+            and n * num_heads <= 2048):
+        kernel = functools.partial(_fwd_kernel_grouped, num_heads=num_heads,
+                                   group=g)
+        scratch = [pltpu.VMEM((n * num_heads, dh), q.dtype)] * 3 + [
+            pltpu.VMEM((n * num_heads, dh), q.dtype)]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            grid=(b,),
+            in_specs=[_block(n, d), _block(m, d), _block(m, d)],
+            out_specs=_block(n, d),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(q, k, v)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads)
     return pl.pallas_call(
         kernel,

@@ -73,8 +73,14 @@ def _is_moment_path(path_keys) -> bool:
 
 
 def _flatten_sd(sd, prefix=()):
-    """Yield (path_tuple, leaf) for a nested state dict."""
-    if isinstance(sd, dict):
+    """Yield (path_tuple, leaf) for a nested state dict.
+
+    EMPTY dicts are yielded as leaves: flax serializes stateless pytree nodes
+    (e.g. optax `EmptyState` inside a `chain`) to `{}`, and dropping them
+    would change the tuple arity `from_state_dict` checks on restore — a
+    strict stage-2 resume would then fail at `opt_state` (caught by the CLI
+    verify drive, round 2)."""
+    if isinstance(sd, dict) and sd:
         for k, v in sd.items():
             yield from _flatten_sd(v, prefix + (str(k),))
     else:
@@ -82,8 +88,13 @@ def _flatten_sd(sd, prefix=()):
 
 
 def _unflatten_sd(items):
+    items = list(items)
+    if len(items) == 1 and not items[0][0]:
+        return items[0][1]  # whole tree is a single (e.g. empty-dict) leaf
     root: Dict[str, Any] = {}
     for path, leaf in items:
+        if not path:
+            continue  # empty-root marker alongside real leaves (sharded load)
         node = root
         for k in path[:-1]:
             node = node.setdefault(k, {})
@@ -124,9 +135,15 @@ def _write_file_atomic(path: str, write_fn) -> None:
 
 
 def _save_sharded(path: str, host_sd, meta: Dict[str, Any]) -> None:
-    items = [(p, np.asarray(v)) for p, v in _flatten_sd(host_sd)]
-    big = [(p, v) for p, v in items if v.nbytes >= 1 << 20]
-    small = [(p, v) for p, v in items if v.nbytes < 1 << 20]
+    big, small = [], []
+    for p, v in _flatten_sd(host_sd):
+        # empty-dict leaves (stateless pytree nodes) and None (e.g. absent
+        # batch_stats) ride the manifest as-is — msgpack encodes both natively
+        if isinstance(v, dict) or v is None:
+            small.append((p, v))
+            continue
+        v = np.asarray(v)
+        (big if v.nbytes >= 1 << 20 else small).append((p, v))
     total = sum(v.nbytes for _, v in big)
     nshards = max(1, min(_MAX_SHARDS,
                          (total + _SHARD_TARGET_BYTES - 1)
@@ -188,7 +205,8 @@ def save_checkpoint(path: str, state_tree: Dict[str, Any], cfg=None,
     """
     wait_pending_saves()  # never interleave two writes to the same tree
     host_sd = _gather_host_state(state_tree, moments_bf16)
-    total = sum(np.asarray(v).nbytes for _, v in _flatten_sd(host_sd))
+    total = sum(np.asarray(v).nbytes for _, v in _flatten_sd(host_sd)
+                if not isinstance(v, dict) and v is not None)
     meta = {
         "cfg": namespace2dict(cfg) if cfg is not None else {},
         "epoch": int(epoch),

@@ -56,6 +56,38 @@ def test_score_with_fused_attention_matches_standard():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("group", [0, 2, 4, 8, 16])
+def test_grouped_heads_variant_matches_reference(group, monkeypatch):
+    """The grouped-heads self-attention kernel (block-diagonal mask packing,
+    see `_fwd_kernel_grouped`) is numerically identical to the oracle for
+    every group size, including the per-head fallback (group=0)."""
+    import ldt_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_GROUP_HEADS", group)
+    b, n, h, dh = 2, 32, 16, 16
+    d = h * dh
+    ks = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    want = reference_attention_core(q, k, v, h)
+    got = pa._fwd_call(q, k, v, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    # grads route through the (per-head) backward kernel regardless of the
+    # forward grouping
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g_f = jax.grad(loss(lambda q, k, v: pa.fused_attention(q, k, v, h, True)),
+                   argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss(lambda q, k, v: reference_attention_core(q, k, v, h)),
+                   argnums=(0, 1, 2))(q, k, v)
+    for a, c in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("b,n,m,d,h", [(2, 32, 32, 128, 4),
                                        (2, 64, 8, 64, 2),
                                        (1, 128, 16, 256, 8)])
