@@ -74,7 +74,7 @@ class Uniform15KPC:
         self._rng = np.random.RandomState(rng_seed)
         self.all_cate_mids = []
         self.cate_idx_lst = []
-        all_points = []
+        entries = []  # (path, cate_idx, (subd, mid))
         for cate_idx, subd in enumerate(subdirs):
             sub_path = os.path.join(root_dir, subd, split)
             if not os.path.isdir(sub_path):
@@ -84,25 +84,27 @@ class Uniform15KPC:
                         for x in sorted(os.listdir(sub_path))
                         if x.endswith(".npy")]
             for mid in all_mids:
-                obj_fname = os.path.join(root_dir, subd, mid + ".npy")
-                try:
-                    point_cloud = np.load(obj_fname)
-                except Exception:
-                    continue
-                assert point_cloud.shape[0] == 15000
-                all_points.append(point_cloud[np.newaxis, ...])
-                self.cate_idx_lst.append(cate_idx)
-                self.all_cate_mids.append((subd, mid))
+                entries.append((os.path.join(root_dir, subd, mid + ".npy"),
+                                cate_idx, (subd, mid)))
+        # Bulk-load on the native thread pool (ldt_tpu/data/fastload.py);
+        # files the fast path can't parse fall back to np.load inside
+        # load_npy_batch, unreadable ones are skipped — exactly the
+        # reference's per-file try/except semantics (ShapeNet_55.py:96-99).
+        from ldt_tpu.data.fastload import load_npy_batch
+
+        block, ok = load_npy_batch([e[0] for e in entries], (15000, 3))
+        keep = np.nonzero(ok)[0]
+        self.cate_idx_lst = [entries[i][1] for i in keep]
+        self.all_cate_mids = [entries[i][2] for i in keep]
 
         # deterministic shuffle, seed 38383 (ShapeNet_55.py:106-111)
-        self.shuffle_idx = list(range(len(all_points)))
+        self.shuffle_idx = list(range(len(keep)))
         random.Random(38383).shuffle(self.shuffle_idx)
         self.cate_idx_lst = [self.cate_idx_lst[i] for i in self.shuffle_idx]
-        all_points = [all_points[i] for i in self.shuffle_idx]
         self.all_cate_mids = [self.all_cate_mids[i] for i in self.shuffle_idx]
 
-        self.all_points = np.concatenate(all_points).astype(np.float32) \
-            if all_points else np.zeros((0, 15000, 3), np.float32)
+        self.all_points = block[keep[self.shuffle_idx]] if len(keep) \
+            else np.zeros((0, 15000, 3), np.float32)
         if boundary and len(self.all_points):
             self.all_points, [self.per_points_shift, self.per_points_scale] = \
                 normalize_point_cloud(self.all_points, verbose=True)

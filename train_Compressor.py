@@ -76,6 +76,18 @@ def main(args, cfg):
                     # (reference train_Compressor.py:83-91)
                     rollback = max((trainer.epoch - 10) // 10 * 10,
                                    cfg.log.save_epoch_freq)
+                    import os as _os
+
+                    from ldt_tpu.training.checkpoint import checkpoint_path
+                    if not _os.path.exists(
+                            checkpoint_path(cfg.log.save_path, rollback)):
+                        raise RuntimeError(
+                            f"training diverged at epoch {trainer.epoch - 1} "
+                            f"(loss={meters['loss'].avg:.4g}, "
+                            f"max={meters['max'].avg:.4g}) before the first "
+                            f"checkpoint at epoch {rollback} — nothing to "
+                            "roll back to; this early a divergence is a bug "
+                            "or a bad config, not training noise")
                     trainer.resume(epoch=rollback, finetune=False,
                                    strict=True, load_optim=True)
                     trainer.base_lr = trainer.base_lr / 2
