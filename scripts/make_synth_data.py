@@ -67,18 +67,28 @@ def make_airplane(seed: int) -> np.ndarray:
     n_fuse, n_wing, n_tail, n_fin = 6000, 5500, 2000, 1500
     fuse = _ellipsoid(rng, n_fuse, (fuse_len, fuse_r, fuse_r))
 
-    wing = _box(rng, n_wing, (chord / 2, 0.012, span / 2))
+    # curved (flattened-ellipsoid) lifting surfaces rather than boxes: the
+    # axis-aligned flat patches of a box + tiny noise make near-degenerate
+    # kNN neighborhoods whose standardized features sit right at the
+    # reference's 10000 max-activation watchdog threshold (measured ~10.5k
+    # at flagship config) — curvature keeps the encoder in-distribution.
+    wing = _ellipsoid(rng, n_wing, (chord / 2, 0.02, span / 2))
     wing[:, 0] += wing_x - sweep * np.abs(wing[:, 2]) / (span / 2 + 1e-9)
 
-    tail = _box(rng, n_tail, (chord * 0.35, 0.01, tail_span / 2))
+    tail = _ellipsoid(rng, n_tail, (chord * 0.35, 0.015, tail_span / 2))
     tail[:, 0] -= fuse_len * 0.85
 
-    fin = _box(rng, n_fin, (chord * 0.3, fin_h / 2, 0.01))
+    fin = _ellipsoid(rng, n_fin, (chord * 0.3, fin_h / 2, 0.015))
     fin[:, 0] -= fuse_len * 0.85
     fin[:, 1] += fin_h / 2
 
     pts = np.concatenate([fuse, wing, tail, fin]).astype(np.float32)
-    pts += rng.normal(scale=0.003, size=pts.shape).astype(np.float32)
+    # random yaw so clouds are not axis-aligned like the parametrization
+    th = rng.uniform(0.0, 2.0 * np.pi)
+    rot = np.array([[np.cos(th), 0.0, np.sin(th)], [0.0, 1.0, 0.0],
+                    [-np.sin(th), 0.0, np.cos(th)]], np.float32)
+    pts = pts @ rot.T
+    pts += rng.normal(scale=0.006, size=pts.shape).astype(np.float32)
     assert pts.shape == (N_POINTS, 3)
     return pts[rng.permutation(N_POINTS)]
 
