@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ldt_tpu.nn.layers import (
+    Dense,
     ActNorm,
     FinalLayer,
     LabelEmbedding,
@@ -68,16 +69,16 @@ class MiniPointnet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        h = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
+        h = Dense(128, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn1")(h)
         h = jax.nn.relu(h)
-        h = nn.Dense(256, dtype=self.dtype, name="conv2")(h)
+        h = Dense(256, dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn2")(h)
         h = jax.nn.relu(h)
         h = jnp.max(h, axis=1)  # [B, 256]
-        return nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(h)
+        return Dense(self.output_dim, dtype=self.dtype, name="fc")(h)
 
 
 class ConvBNReLURes1D(nn.Module):
@@ -91,12 +92,12 @@ class ConvBNReLURes1D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         act = get_activation(self.activation)
-        h = nn.Dense(int(self.channel * self.res_expansion), dtype=self.dtype,
+        h = Dense(int(self.channel * self.res_expansion), dtype=self.dtype,
                      name="net1_dense")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="net1_bn")(h)
         h = act(h)
-        h = nn.Dense(self.channel, dtype=self.dtype, name="net2_dense")(h)
+        h = Dense(self.channel, dtype=self.dtype, name="net2_dense")(h)
         return act(h + x)
 
 
@@ -118,7 +119,7 @@ class PreExtraction(nn.Module):
         b, s, k, d = x.shape
         h = x.reshape(b * s, k, d)
         # ConvBNReLU1D "transfer" (layers.py:115-126)
-        h = nn.Dense(self.out_channels, dtype=self.dtype, name="transfer_dense")(h)
+        h = Dense(self.out_channels, dtype=self.dtype, name="transfer_dense")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="transfer_bn")(h)
         h = get_activation(self.activation)(h)
@@ -224,9 +225,9 @@ class InitialSet(nn.Module):
         x = (eps * sig[None, None] + mu[None, None]) * \
             jax.nn.softmax(logits)[None, None, :, None]
         x = x.sum(2)
-        x = nn.Dense(self.dim_seed)(x)
+        x = Dense(self.dim_seed)(x)
         x = jax.nn.silu(x)
-        return nn.Dense(self.dim_seed)(x)
+        return Dense(self.dim_seed)(x)
 
 
 class Encoder(nn.Module):
@@ -286,9 +287,9 @@ class DecoderBlock(nn.Module):
                       act=self.act, fused_attention=self.fused_attention,
                       dtype=self.dtype)
         self.att = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
-        self.prior_dense = nn.Dense(2 * self.dim_z, dtype=self.dtype)
+        self.prior_dense = Dense(2 * self.dim_z, dtype=self.dtype)
         self.att1 = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
-        self.ln = nn.Dense(self.dim_in, dtype=self.dtype)
+        self.ln = Dense(self.dim_in, dtype=self.dtype)
 
     def compute_posterior(self, x: jax.Array, o: Optional[jax.Array] = None,
                           c: Optional[jax.Array] = None, *,
@@ -323,7 +324,7 @@ class Compressor(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.input_dense = nn.Dense(cfg.hidden_dim, dtype=self.dtype)
+        self.input_dense = Dense(cfg.hidden_dim, dtype=self.dtype)
         if cfg.ActNorm is not None and cfg.ActNorm is not False:
             ft = "set" if cfg.ActNorm is True else cfg.ActNorm
             self.conv_in = ActNorm(cfg.hidden_dim, cfg.z_scales,
@@ -363,7 +364,7 @@ class Compressor(nn.Module):
                          dtype=self.dtype)
             for _ in range(cfg.n_layers)
         ]
-        self.output_dense = nn.Dense(3, dtype=self.dtype)
+        self.output_dense = Dense(3, dtype=self.dtype)
         self.init_set = InitialSet(cfg.hidden_dim, cfg.max_outputs)
 
     @staticmethod

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ldt_tpu.nn.layers import (
+    Dense,
     FinalLayer,
     LabelEmbedding,
     ResidualBlock,
@@ -102,15 +103,15 @@ class ConditionNet(nn.Module):
             img = condition["img"]  # [B, H, W, 3] channels-last
             h = ResNet18Trunk(dtype=self.dtype, name="resnet")(img, train=train)
             h = jnp.max(h, axis=(1, 2))  # adaptive_max_pool2d(·, 1)
-            img_emb = nn.Dense(self.p_dim, dtype=self.dtype, name="ln")(h)
+            img_emb = Dense(self.p_dim, dtype=self.dtype, name="ln")(h)
         if self.pt_condition and condition.get("pts") is not None:
             pts = condition["pts"]  # [B, N, 3]
-            x = nn.Dense(128, dtype=self.dtype, name="pc_conv_in")(pts)
+            x = Dense(128, dtype=self.dtype, name="pc_conv_in")(pts)
             _, x = LocalGrouper(128, True, normalize="center",
                                 dtype=self.dtype, name="group")(
                 pts, x, self.patch_size,
                 pts.shape[1] // self.patch_size * 2, train=train)
-            pts_tokens = nn.Dense(self.hidden_size, dtype=self.dtype,
+            pts_tokens = Dense(self.hidden_size, dtype=self.dtype,
                                   name="pc_conv_out")(x)
         return pts_tokens, (img_emb if img_emb is not None else 0.0)
 
@@ -148,7 +149,7 @@ class Score(nn.Module):
         if cfg.num_categorys > 1:
             self.label_embedding = LabelEmbedding(cfg.num_categorys, cfg.t_dim,
                                                   cfg.t_dim, dtype=self.dtype)
-        self.ln_in = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.ln_in = Dense(cfg.hidden_size, dtype=self.dtype)
         self.time_embedding = TimeEmbedding(cfg.t_dim // 4, cfg.t_dim,
                                             dtype=self.dtype)
         self.ln_out = FinalLayer(cfg.z_dim, dim_c=cfg.t_dim, norm=cfg.norm,

@@ -31,6 +31,52 @@ import flax.linen as nn
 Dtype = Any
 
 
+class Dense(nn.Module):
+    """`nn.Dense` with torch `nn.Linear`'s DEFAULT initialization.
+
+    The reference never calls its `initialize_weights` (commented out at
+    model/scorenet/score.py:98 and model/Compressor/Network.py:161), so every
+    Linear/Conv1d trains from torch defaults: kaiming-uniform(a=sqrt(5))
+    kernels (std 0.577/sqrt(fan_in)) and uniform(+-1/sqrt(fan_in)) biases.
+    flax's lecun_normal kernels are 1.73x larger per matmul; through the
+    Compressor's ~14 pre-norm residual blocks that factor COMPOUNDS into a
+    ~500-1000x activation blowup at init (measured: encoder max ~2-5k and
+    mean KL ~6e3 vs the torch reference's 3.8 and 0.044 on the same batch) —
+    large enough to trip the reference's hard-coded 10000 max-activation
+    watchdog within two epochs at flagship config. Same param names/shapes
+    as `nn.Dense` (checkpoints interchangeable).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (fan_in, self.features), self.param_dtype)
+        bias = None
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(fan_in)
+
+            def bias_init(key, shape, dtype=self.param_dtype):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            bias = self.param("bias", bias_init, (self.features,),
+                              self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jax.lax.dot_general(x, kernel,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 def get_activation(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
     """Activation registry (reference tools/utils.py:104-124)."""
     if name is None:
@@ -100,9 +146,9 @@ class TimeEmbedding(nn.Module):
     @nn.compact
     def __call__(self, t: jax.Array) -> jax.Array:
         h = sinusoidal_embedding(t, self.dim_embed).astype(self.dtype)
-        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        h = Dense(self.dim_out, dtype=self.dtype)(h)
         h = jax.nn.silu(h)
-        return nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        return Dense(self.dim_out, dtype=self.dtype)(h)
 
 
 class LabelEmbedding(nn.Module):
@@ -115,10 +161,11 @@ class LabelEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, label: jax.Array) -> jax.Array:
-        h = nn.Embed(self.num_categories, self.dim_embed, dtype=self.dtype)(label)
-        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        h = nn.Embed(self.num_categories, self.dim_embed, dtype=self.dtype,
+                     embedding_init=nn.initializers.normal(1.0))(label)
+        h = Dense(self.dim_out, dtype=self.dtype)(h)
         h = jax.nn.silu(h)
-        return nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        return Dense(self.dim_out, dtype=self.dtype)(h)
 
 
 class ActNorm(nn.Module):
@@ -186,13 +233,13 @@ class MLP(nn.Module):
         act = get_activation(self.activation)
         h = x
         for _ in range(self.n_hidden):
-            h = act(nn.Dense(self.dim_hidden, dtype=self.dtype)(h))
+            h = act(Dense(self.dim_hidden, dtype=self.dtype)(h))
             if self.dropout_p > 0:
                 h = nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
-        h = nn.Dense(self.dim_out, dtype=self.dtype)(h)
+        h = Dense(self.dim_out, dtype=self.dtype)(h)
         if self.residual:
             if x.shape[-1] != self.dim_out:
-                x = nn.Dense(self.dim_out, dtype=self.dtype, name="shortcut")(x)
+                x = Dense(self.dim_out, dtype=self.dtype, name="shortcut")(x)
             h = h + x
         return h
 
@@ -222,8 +269,8 @@ class Attention(nn.Module):
         d = self.dim_out
         h = self.num_heads
         dh = d // h
-        dense_q = nn.Dense(d, dtype=self.dtype, name="fc_q")
-        dense_kv = nn.Dense(2 * d, dtype=self.dtype, name="fc_kv")
+        dense_q = Dense(d, dtype=self.dtype, name="fc_q")
+        dense_kv = Dense(2 * d, dtype=self.dtype, name="fc_kv")
         if (self.fused_core and x is y and not self.is_initializing()):
             # self-attention fast path: q and kv come from the SAME input, so
             # run one [D, 3D] GEMM against the concatenated kernels instead
@@ -259,7 +306,7 @@ class Attention(nn.Module):
             w = jax.nn.softmax(w.astype(jnp.float32),
                                axis=-1).astype(self.dtype)
             att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
-        att = nn.Dense(d, dtype=self.dtype, name="fc_o")(att)
+        att = Dense(d, dtype=self.dtype, name="fc_o")(att)
         if self.dropout_p > 0:
             att = nn.Dropout(self.dropout_p)(att, deterministic=deterministic)
         return att
@@ -342,7 +389,7 @@ class ResidualBlock(nn.Module):
 
         def shortcut(v):
             if dim_out != self.dim_in:
-                return nn.Dense(dim_out, dtype=self.dtype, name="shortcut")(v)
+                return Dense(dim_out, dtype=self.dtype, name="shortcut")(v)
             return v
 
         if c is not None or mods is not None:
@@ -363,15 +410,15 @@ class ResidualBlock(nn.Module):
                         gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
                             mods[..., 2 * self.dim_in:], 4, axis=-1)
                 elif self.dim_in == dim_out:
-                    m = nn.Dense(6 * dim_out, dtype=self.dtype,
+                    m = Dense(6 * dim_out, dtype=self.dtype,
                                  name="adaLN")(jax.nn.silu(c))
                     (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
                      gate_mlp) = jnp.split(m, 6, axis=-1)
                 else:
-                    m1 = nn.Dense(2 * self.dim_in, dtype=self.dtype,
+                    m1 = Dense(2 * self.dim_in, dtype=self.dtype,
                                   name="adaLN1")(jax.nn.silu(c))
                     shift_msa, scale_msa = jnp.split(m1, 2, axis=-1)
-                    m2 = nn.Dense(4 * dim_out, dtype=self.dtype,
+                    m2 = Dense(4 * dim_out, dtype=self.dtype,
                                   name="adaLN2")(jax.nn.silu(c))
                     gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
                         m2, 4, axis=-1)
@@ -382,7 +429,7 @@ class ResidualBlock(nn.Module):
                 x = x + gate_mlp * mlp(modulate(n2(x), shift_mlp, scale_mlp),
                                        deterministic=deterministic)
             else:
-                pos = nn.Dense(self.dim_in, dtype=self.dtype,
+                pos = Dense(self.dim_in, dtype=self.dtype,
                                name="pos_embedding")(jax.nn.silu(c))
                 x = act(n1(x)) + pos
                 x = shortcut(x) + attn(x, y if y is not None else x,
@@ -424,13 +471,13 @@ class FinalLayer(nn.Module):
                 mods = mods[None]
             shift, scale = jnp.split(mods, 2, axis=-1)
             x = modulate(n(x), shift, scale)
-            return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
+            return Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
         if c is not None:
             if c.ndim == 2:
                 c = c[:, None, :]
-            m = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
+            m = Dense(2 * x.shape[-1], dtype=self.dtype,
                          name="adaLN")(jax.nn.silu(c))
             shift, scale = jnp.split(m, 2, axis=-1)
             x = modulate(n(x), shift, scale)
-            return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
-        return nn.Dense(self.dim_out, dtype=self.dtype, name="ln")(n(x))
+            return Dense(self.dim_out, dtype=self.dtype, name="ln")(x)
+        return Dense(self.dim_out, dtype=self.dtype, name="ln")(n(x))

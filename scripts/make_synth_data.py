@@ -67,11 +67,10 @@ def make_airplane(seed: int) -> np.ndarray:
     n_fuse, n_wing, n_tail, n_fin = 6000, 5500, 2000, 1500
     fuse = _ellipsoid(rng, n_fuse, (fuse_len, fuse_r, fuse_r))
 
-    # curved (flattened-ellipsoid) lifting surfaces rather than boxes: the
-    # axis-aligned flat patches of a box + tiny noise make near-degenerate
-    # kNN neighborhoods whose standardized features sit right at the
-    # reference's 10000 max-activation watchdog threshold (measured ~10.5k
-    # at flagship config) — curvature keeps the encoder in-distribution.
+    # curved (flattened-ellipsoid) lifting surfaces rather than boxes:
+    # axis-aligned flat patches + tiny noise make degenerate kNN
+    # neighborhoods with outlier standardized features; curvature keeps the
+    # geometry statistics closer to surface-sampled ShapeNet.
     wing = _ellipsoid(rng, n_wing, (chord / 2, 0.02, span / 2))
     wing[:, 0] += wing_x - sweep * np.abs(wing[:, 2]) / (span / 2 + 1e-9)
 
@@ -93,13 +92,46 @@ def make_airplane(seed: int) -> np.ndarray:
     return pts[rng.permutation(N_POINTS)]
 
 
+def make_blob(seed: int) -> np.ndarray:
+    """One 15000-point RBF-deformed ellipsoid, deterministic in `seed`.
+
+    Smooth closed surface with per-shape latent structure (axis ratios + a
+    random smooth radial displacement field) and near-uniform point density.
+    Kept as the maximally-benign geometry family: comparing encoder
+    activation statistics between blobs and the airplane composites is what
+    exposed the flax-vs-torch default-init divergence fixed in
+    `ldt_tpu/nn/layers.py::Dense` (activations scale with geometry
+    degeneracy, but the ~1000x init blowup dominated both).
+    """
+    rng = np.random.RandomState(seed)
+    n_centers = 8
+    centers = _unit_sphere(rng, n_centers)
+    amps = rng.uniform(-0.35, 0.35, n_centers)
+    width = rng.uniform(0.5, 0.9)
+    radii = rng.uniform(0.5, 1.0, 3)
+
+    d = _unit_sphere(rng, N_POINTS)
+    # smooth radial field: sum of spherical RBF bumps
+    dots = d @ centers.T                       # [N, C] cos(angle)
+    bump = np.exp((dots - 1.0) / (width ** 2))  # geodesic-ish RBF
+    r = 1.0 + bump @ amps
+    pts = (d * r[:, None] * radii).astype(np.float32)
+    pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+    return pts
+
+
+MAKERS = {"airplane": make_airplane, "blob": make_blob}
+
 SPLIT_OFFSET = {"train": 0, "val": 1_000_000, "test": 2_000_000}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/ShapeNetCore.v2.PC15k")
-    ap.add_argument("--cate", default="airplane")
+    ap.add_argument("--cate", default="airplane",
+                    help="category (synset dir) the clouds are written under")
+    ap.add_argument("--shape", default="airplane", choices=sorted(MAKERS),
+                    help="generator family (see MAKERS)")
     ap.add_argument("--train", type=int, default=512)
     ap.add_argument("--val", type=int, default=64)
     ap.add_argument("--test", type=int, default=64)
@@ -108,6 +140,7 @@ def main():
     from ldt_tpu.data.shapenet55 import cate_to_synsetid
 
     sid = cate_to_synsetid[args.cate]
+    make = MAKERS[args.shape]
     for split, count in (("train", args.train), ("val", args.val),
                          ("test", args.test)):
         d = os.path.join(args.out, sid, split)
@@ -116,7 +149,7 @@ def main():
             path = os.path.join(d, f"synth_{i:05d}.npy")
             if os.path.exists(path):
                 continue
-            np.save(path, make_airplane(SPLIT_OFFSET[split] + i))
+            np.save(path, make(SPLIT_OFFSET[split] + i))
         print(f"{split}: {count} clouds at {d}")
 
 
