@@ -1,0 +1,114 @@
+"""Full-network init-statistics parity vs the actual torch reference.
+
+Per-block weight-ported tests (test_torch_parity.py) cannot see COMPOSED
+effects like initialization scale compounding through the residual stream —
+the bug class behind PARITY.md quirk #4. This test runs the reference's full
+Compressor (CUDA FPS / .to("cuda") shimmed out) and ours at flagship config
+on the same synthetic batch with their respective default inits, and asserts
+the init-time activation statistics agree to within small factors.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def _install_reference_shims():
+    """Greedy torch FPS for pointnet2_ops + ignore .to('cuda')."""
+    if "pointnet2_ops" not in sys.modules:
+        def fps(xyz, npoint):
+            B, N, _ = xyz.shape
+            idx = torch.zeros(B, npoint, dtype=torch.int32)
+            dist = torch.full((B, N), 1e10)
+            farthest = torch.zeros(B, dtype=torch.long)
+            bi = torch.arange(B)
+            for i in range(npoint):
+                idx[:, i] = farthest.int()
+                c = xyz[bi, farthest][:, None, :]
+                dist = torch.minimum(dist, ((xyz - c) ** 2).sum(-1))
+                farthest = dist.argmax(-1)
+            return idx
+
+        mod = types.ModuleType("pointnet2_ops")
+        sub = types.ModuleType("pointnet2_ops.pointnet2_utils")
+        sub.furthest_point_sample = fps
+        mod.pointnet2_utils = sub
+        sys.modules["pointnet2_ops"] = mod
+        sys.modules["pointnet2_ops.pointnet2_utils"] = sub
+    if not getattr(torch.Tensor.to, "_ldt_shim", False):
+        orig_to = torch.Tensor.to
+
+        def _to(self, *a, **k):
+            if a and isinstance(a[0], str) and a[0].startswith("cuda"):
+                return self
+            return orig_to(self, *a, **k)
+
+        _to._ldt_shim = True
+        torch.Tensor.to = _to
+
+
+FLAGSHIP = dict(
+    outsize=2048, max_outputs=2048, input_dim=3, z_dim=20, z_scales=32,
+    p_dim=256, n_layers=6, hidden_dim=128, num_heads=4, activation="swish",
+    encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+    neighbors=128, encoder_layers=2, mlp_ratio=4.0, min_sigma=-30,
+    cluster_norm="anchor", norm_input=False, pre_group=False,
+    decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+    class_condition=False, num_categorys=1, pretrain_path=None)
+
+
+def _batch(n=8):
+    rng = np.random.RandomState(0)
+    pts = rng.randn(n, 2048, 3).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True).max(1, keepdims=True)
+    return pts
+
+
+def test_flagship_init_statistics_match_reference():
+    _install_reference_shims()
+    from model.Compressor.Network import Compressor as RefCompressor
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldt_tpu.models import Compressor
+    from ldt_tpu.tools.io import dict2namespace
+
+    pts = _batch()
+
+    cfg_t = types.SimpleNamespace(**FLAGSHIP)
+    torch.manual_seed(0)
+    ref = RefCompressor(cfg_t)
+    ref.train()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(pts).float())
+    ref_max = float(ref_out["max"])
+    ref_kl = float(torch.cat([k.flatten(1) for k in ref_out["kls"]],
+                             dim=1).mean())
+
+    comp = Compressor(dict2namespace(dict(FLAGSHIP)))
+    v = jax.jit(comp.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.asarray(pts), train=True)
+    out, _ = comp.apply(v, jnp.asarray(pts), train=True,
+                        rngs={"sample": jax.random.key(2)},
+                        mutable=["batch_stats"])
+    our_max = float(out["max"])
+    our_kl = float(jnp.mean(jnp.concatenate(out["kls"], axis=1)))
+
+    # different random draws — assert scale agreement, not equality.
+    # (the pre-fix flax-default init was off by ~500-1000x here.)
+    assert our_max / ref_max < 5.0 and ref_max / our_max < 5.0, \
+        f"init max mismatch: ours {our_max:.2f} vs reference {ref_max:.2f}"
+    assert our_kl / ref_kl < 5.0 and ref_kl / our_kl < 5.0, \
+        f"init KL mismatch: ours {our_kl:.4f} vs reference {ref_kl:.4f}"
+    # both must sit far inside the 10000 max-activation watchdog envelope
+    assert our_max < 100.0
