@@ -148,7 +148,12 @@ class Trainer(BaseTrainer):
         self.state, loss, kl, rec, max_f = self._train_step(
             self.state, pts, label, lr, self._base_key)
         self.itr += 1
-        return loss, kl, rec, max_f
+        # ONE batched host pull for all four meter scalars: the entry loop
+        # reads each per step (reference train_Compressor.py:52-64), and four
+        # separate float() calls are four sequential blocking round-trips on
+        # a remote transport (~1.5 s/step measured on the tunnel vs ~0.4 s
+        # batched)
+        return jax.device_get((loss, kl, rec, max_f))
 
     # ------------------------------------------------------------ sampling
     def sample(self, num_samples, num_points, given_eps=None):

@@ -182,7 +182,10 @@ class Trainer(LatentSDETrainer):
                                                   k_score)
         self._sync_comp_vars()
         self.itr += 1
-        return loss_score, kl, rec
+        # one batched host pull for the three meter scalars (see
+        # compressor_trainer.update — avoids per-scalar round-trips on
+        # remote transports)
+        return jax.device_get((loss_score, kl, rec))
 
     # --------------------------------------------------------- checkpoints
     def save(self):
