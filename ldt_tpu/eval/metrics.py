@@ -72,6 +72,28 @@ def _iter_blocks(total: int, block: int):
         yield start, min(total, start + block)
 
 
+# HBM budget for one pair tile's [P, N, M] distance matrices. The chamfer/
+# approx-match tiles materialize a handful of [P, N, M] f32 temps; at
+# N=M=2048 each pair costs ~16.8 MB, so an uncapped 256-pair tile wants
+# >8 GB of temps and OOMs a 16 GB v5e that also holds training state
+# (observed in the stage-1 reconstruction eval at batch_size=128).
+_PAIR_TILE_BYTES = int(1.6e9)
+
+
+def _tile_shape(ns: int, nr: int, batch_size: int, block: Optional[int],
+                n_pts: int, m_pts: int):
+    """(sample-block, ref-block) sizes: ~4*batch_size pairs per tile, capped
+    so P * N * M * 4 bytes stays under `_PAIR_TILE_BYTES`."""
+    budget = max(1, _PAIR_TILE_BYTES // max(n_pts * m_pts * 4, 1))
+    rb = min(batch_size, nr, budget)
+    if block is not None:
+        sb = min(block, ns)
+    else:
+        sb = max(1, min(4 * batch_size, budget) // rb)
+        sb = min(sb, ns)
+    return sb, rb
+
+
 def _fixed_block(arr, start: int, stop: int, size: int):
     """`arr[start:stop]` padded to exactly `size` rows by repeating the last
     cloud. Remainder blocks would otherwise change the jitted tile shape —
@@ -97,8 +119,8 @@ def pairwise_CD(sample_pcs, ref_pcs, batch_size: int = 32,
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns, nr = sample_pcs.shape[0], ref_pcs.shape[0]
-    sb = block if block is not None else max(1, 4 * batch_size // max(batch_size, 1))
-    sb, rb = min(sb, ns), min(batch_size, nr)
+    sb, rb = _tile_shape(ns, nr, batch_size, block,
+                         sample_pcs.shape[1], ref_pcs.shape[1])
     out = np.zeros((ns, nr), np.float32)
     for s0, s1 in _iter_blocks(ns, sb):
         for r0, r1 in _iter_blocks(nr, rb):
@@ -116,8 +138,8 @@ def pairwise_EMD_CD(sample_pcs, ref_pcs, batch_size: int = 32,
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns, nr = sample_pcs.shape[0], ref_pcs.shape[0]
-    sb = block if block is not None else max(1, 4 * batch_size // max(batch_size, 1))
-    sb, rb = min(sb, ns), min(batch_size, nr)
+    sb, rb = _tile_shape(ns, nr, batch_size, block,
+                         sample_pcs.shape[1], ref_pcs.shape[1])
     cd = np.zeros((ns, nr), np.float32)
     emd = np.zeros((ns, nr), np.float32)
     for s0, s1 in _iter_blocks(ns, sb):
@@ -195,7 +217,9 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int, reduced: bool = True,
     ref_pcs = jnp.asarray(ref_pcs)
     ns = sample_pcs.shape[0]
     assert ns == ref_pcs.shape[0], f"REF:{ref_pcs.shape[0]} SMP:{ns}"
-    bs = min(batch_size, ns)
+    n_pts, m_pts = sample_pcs.shape[1], ref_pcs.shape[1]
+    budget = max(1, _PAIR_TILE_BYTES // max(n_pts * m_pts * 4, 1))
+    bs = min(batch_size, ns, budget)
     cd_lst, emd_lst = [], []
     for b0, b1 in _iter_blocks(ns, bs):
         xs = _fixed_block(sample_pcs, b0, b1, bs)

@@ -18,7 +18,7 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 
 def _install_reference_shims():

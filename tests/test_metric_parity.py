@@ -19,7 +19,7 @@ REF = "/root/reference"
 if not os.path.isdir(REF):
     pytest.skip("reference tree unavailable", allow_module_level=True)
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 em = pytest.importorskip("evaluation.evaluation_metrics")
 
