@@ -52,12 +52,17 @@ def main(args, cfg):
     if not args.evaluate:
         for epoch in range(trainer.epoch, cfg.common.epochs + 1):
             tbar = progress(train_loader, desc=f"Epoch {epoch}")
+            # device-array losses, one sync per epoch (see
+            # train_Latent_Diffusion.py — a float() per step serializes the
+            # async dispatch queue on remote transports)
+            epoch_losses = []
             for data in tbar:
                 pc = fps_to(data["pc"], cfg.common.num_points)
                 pc_part = fps_to(data["pc_part"], cfg.common.num_points)
                 condition = {"img": np.asarray(data["views"]),
                              "pts": np.asarray(pc_part)}
-                loss = trainer.update(np.asarray(pc), condition)
+                epoch_losses.append(trainer.update(np.asarray(pc), condition))
+            for loss in epoch_losses:
                 loss_meter.update(loss)
             trainer.epoch_end()
             if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:
