@@ -271,25 +271,33 @@ class Attention(nn.Module):
         dh = d // h
         dense_q = Dense(d, dtype=self.dtype, name="fc_q")
         dense_kv = Dense(2 * d, dtype=self.dtype, name="fc_kv")
+        att = None
         if (self.fused_core and x is y and not self.is_initializing()):
             # self-attention fast path: q and kv come from the SAME input, so
             # run one [D, 3D] GEMM against the concatenated kernels instead
             # of two launches (param tree unchanged: kernels read from the
-            # fc_q/fc_kv Dense scopes created during init)
+            # fc_q/fc_kv Dense scopes created during init), and hand the
+            # PACKED output straight to the Pallas kernel — no lane-slice
+            # ops, no materialized q/k/v copies.
+            from ldt_tpu.ops.pallas_attention import fused_attention_packed
+
             pq = self.get_variable("params", "fc_q")
             pkv = self.get_variable("params", "fc_kv")
             w = jnp.concatenate([pq["kernel"], pkv["kernel"]],
                                 axis=1).astype(self.dtype)
             bias = jnp.concatenate([pq["bias"], pkv["bias"]]).astype(self.dtype)
             qkv = x.astype(self.dtype) @ w + bias
-            q, kv = qkv[..., :d], qkv[..., d:]
+            att = fused_attention_packed(qkv, h,
+                                         jax.default_backend() != "tpu")
         else:
             q = dense_q(x)        # [B, N, D]
             kv = dense_kv(y)      # [B, M, 2D]
-        k, v = kv[..., :d], kv[..., d:]
-        b, n, _ = q.shape
-        m = k.shape[1]
-        if self.fused_core:
+            k, v = kv[..., :d], kv[..., d:]
+            b, n, _ = q.shape
+            m = k.shape[1]
+        if att is not None:
+            pass
+        elif self.fused_core:
             # Pallas kernel: per-head lane slices in VMEM, no HBM relayouts,
             # any N x M, differentiable via a Pallas backward kernel
             # (ldt_tpu/ops/pallas_attention.py); params identical to the

@@ -108,6 +108,71 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
             preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
+def _fwd_kernel_packed(qkv_ref, o_ref, *, num_heads: int):
+    """Self-attention forward on the PACKED [1, N, 3D] qkv GEMM output.
+
+    The Attention module computes q/k/v as ONE [D, 3D] GEMM on the
+    self-attention fast path; handing the packed tensor straight to the
+    kernel removes the three XLA lane-slice ops and their materialized
+    [B, N, D] copies (~12 MB HBM writes + reads per block at the flagship
+    shape). The q/k/v regions sit at lane offsets 0 / D / 2D — multiples of
+    1024, i.e. 128-lane aligned — so in-kernel slicing is free.
+    """
+    _, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(n, d3)
+    scale = dh ** -0.5
+    for i in range(h):
+        q = x[:, i * dh:(i + 1) * dh]
+        k = x[:, d + i * dh:d + (i + 1) * dh]
+        v = x[:, 2 * d + i * dh:2 * d + (i + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [N, N]
+        w = _softmax_rows(s)
+        o_ref[0, :, i * dh:(i + 1) * dh] = jnp.dot(
+            w.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
+    """Backward of `_fwd_kernel_packed`: gradients written into one packed
+    [1, N, 3D] buffer (the VJP of the packed qkv GEMM consumes it whole)."""
+    _, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(n, d3)
+    g = g_ref[...].reshape(n, d)
+    scale = dh ** -0.5
+    for i in range(h):
+        sl_q = slice(i * dh, (i + 1) * dh)
+        sl_k = slice(d + i * dh, d + (i + 1) * dh)
+        sl_v = slice(2 * d + i * dh, 2 * d + (i + 1) * dh)
+        q, k, v = x[:, sl_q], x[:, sl_k], x[:, sl_v]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        w = _softmax_rows(s)
+        gh = g[:, sl_q.start:sl_q.stop]
+        dqkv_ref[0, :, sl_v] = jax.lax.dot_general(
+            w.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dw = jax.lax.dot_general(
+            gh, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
+        dsc = ds.astype(q.dtype)
+        dqkv_ref[0, :, sl_q] = (jnp.dot(
+            dsc, k, preferred_element_type=jnp.float32)
+            * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_k] = (jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dqkv_ref.dtype)
+
+
 def _fwd_kernel_grouped(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, os_, *,
                         num_heads: int, group: int):
     """Grouped-heads forward for SELF-attention shapes (N == M, few tokens).
@@ -216,6 +281,61 @@ def _bwd_call(q, k, v, g, num_heads: int, interpret: bool):
         out_specs=(_block(n, d), _block(m, d), _block(m, d)),
         interpret=interpret,
     )(q, k, v, g)
+
+
+def _fwd_call_packed(qkv, num_heads: int, interpret: bool):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    kernel = functools.partial(_fwd_kernel_packed, num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        grid=(b,),
+        in_specs=[_block(n, d3)],
+        out_specs=_block(n, d),
+        interpret=interpret,
+    )(qkv)
+
+
+def _bwd_call_packed(qkv, g, num_heads: int, interpret: bool):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    kernel = functools.partial(_bwd_kernel_packed, num_heads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
+        grid=(b,),
+        in_specs=[_block(n, d3), _block(n, d)],
+        out_specs=_block(n, d3),
+        interpret=interpret,
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_packed(qkv: jax.Array, num_heads: int,
+                           interpret: bool = False) -> jax.Array:
+    """Self-attention on the packed [B, N, 3D] qkv projection output.
+
+    Equivalent to `fused_attention(qkv[..., :D], qkv[..., D:2D],
+    qkv[..., 2D:], ...)` but consumes the fused qkv GEMM's output directly —
+    no XLA lane-slice ops, no materialized q/k/v copies (see
+    `_fwd_kernel_packed`). Differentiable: the backward Pallas kernel emits
+    a packed [B, N, 3D] gradient that flows straight into the qkv GEMM VJP.
+    """
+    return _fwd_call_packed(qkv, num_heads, interpret)
+
+
+def _fused_attention_packed_fwd(qkv, num_heads, interpret):
+    return _fwd_call_packed(qkv, num_heads, interpret), (qkv,)
+
+
+def _fused_attention_packed_bwd(num_heads, interpret, residuals, g):
+    (qkv,) = residuals
+    return (_bwd_call_packed(qkv, g, num_heads, interpret),)
+
+
+fused_attention_packed.defvjp(_fused_attention_packed_fwd,
+                              _fused_attention_packed_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
