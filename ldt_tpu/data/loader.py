@@ -74,11 +74,14 @@ class DataLoader:
         self._epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def producer():
             try:
                 for idxs in self._index_batches():
                     q.put(self.collate_fn([self.dataset[int(i)] for i in idxs]))
+            except BaseException as e:  # re-raised on the consumer side
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -90,3 +93,8 @@ class DataLoader:
                 break
             yield item
         thread.join()
+        if error:
+            # a swallowed worker exception would silently end the epoch with
+            # zero (or partial) batches — a training loop then "succeeds"
+            # having trained on nothing
+            raise error[0]
