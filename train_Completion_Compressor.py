@@ -78,6 +78,12 @@ def main(args, cfg):
                 if (trainer.epoch - 1) % cfg.log.eval_epoch_freq == 0:
                     all_res = trainer.reconstruction(test_loader=test_loader)
                     trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
+                    try:  # reference train_Completion_Compressor.py:84-87
+                        trainer.write_log(
+                            [trainer.epoch - 1] + list(all_res.values()),
+                            mode="eval")
+                    except Exception:
+                        print("write log failed")
                 if diverged():
                     rollback = max((trainer.epoch - 10) // 10 * 10,
                                    cfg.log.save_epoch_freq)

@@ -73,9 +73,17 @@ def main(args, cfg):
             if (trainer.epoch - 1) % cfg.log.eval_epoch_freq == 0:
                 all_res = trainer.valsample(test_loader=test_loader)
                 trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
+                try:  # reference train_Completion_Latent_Diffusion.py:71-76
+                    trainer.write_log(
+                        [trainer.epoch - 1] + list(all_res.values()),
+                        mode="eval")
+                except Exception:
+                    print("write log failed")
     else:
         all_res = trainer.valsample(test_loader=test_loader, full=True)
         trainer.info(str(all_res))
+        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
+                          mode="eval")
 
 
 if __name__ == "__main__":
