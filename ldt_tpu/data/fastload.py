@@ -74,13 +74,19 @@ def native_available() -> bool:
 
 
 def load_npy_batch(paths: Sequence[str], shape: Tuple[int, ...],
-                   n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                   n_threads: int = 0,
+                   strict_shape: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Load `len(paths)` float32 .npy files of `shape` into [N, *shape].
 
     Returns (block, ok_mask). Files the native path rejects (missing, not
     '<f4', wrong shape/order) are retried with np.load; entries that still
     fail have ok_mask False (caller decides whether to skip — the reference
     loader skips unreadable files, ShapeNet_55.py:96-99).
+
+    With `strict_shape`, a file np.load CAN read but whose shape mismatches
+    raises instead of being masked out — the reference hard-asserts 15000
+    points after a successful load (ShapeNet_55.py:101), so a corrupt
+    dataset should fail loudly, not silently shrink.
     """
     n = len(paths)
     elems = int(np.prod(shape))
@@ -102,9 +108,14 @@ def load_npy_batch(paths: Sequence[str], shape: Tuple[int, ...],
     for i in np.nonzero(statuses != 0)[0]:
         try:
             arr = np.load(paths[i])
-            if arr.shape != tuple(shape):
-                raise ValueError(f"shape {arr.shape} != {shape}")
-            out[i] = arr.astype(np.float32)
         except Exception:
             ok[i] = False
+            continue
+        if arr.shape != tuple(shape):
+            if strict_shape:
+                raise ValueError(
+                    f"{paths[i]}: shape {arr.shape} != expected {shape}")
+            ok[i] = False
+            continue
+        out[i] = arr.astype(np.float32)
     return out, ok

@@ -89,10 +89,13 @@ class Uniform15KPC:
         # Bulk-load on the native thread pool (ldt_tpu/data/fastload.py);
         # files the fast path can't parse fall back to np.load inside
         # load_npy_batch, unreadable ones are skipped — exactly the
-        # reference's per-file try/except semantics (ShapeNet_55.py:96-99).
+        # reference's per-file try/except semantics (ShapeNet_55.py:96-99) —
+        # while readable-but-wrong-shape files RAISE, matching the
+        # reference's hard 15000-point assert (ShapeNet_55.py:101).
         from ldt_tpu.data.fastload import load_npy_batch
 
-        block, ok = load_npy_batch([e[0] for e in entries], (15000, 3))
+        block, ok = load_npy_batch([e[0] for e in entries], (15000, 3),
+                                   strict_shape=True)
         keep = np.nonzero(ok)[0]
         self.cate_idx_lst = [entries[i][1] for i in keep]
         self.all_cate_mids = [entries[i][2] for i in keep]

@@ -87,7 +87,9 @@ def _tile_shape(ns: int, nr: int, batch_size: int, block: Optional[int],
     budget = max(1, _PAIR_TILE_BYTES // max(n_pts * m_pts * 4, 1))
     rb = min(batch_size, nr, budget)
     if block is not None:
-        sb = min(block, ns)
+        # the explicit-block path must honor the tile budget too, or a
+        # caller-chosen block can still OOM the pair tiles
+        sb = min(block, ns, max(1, budget // rb))
     else:
         sb = max(1, min(4 * batch_size, budget) // rb)
         sb = min(sb, ns)

@@ -8,8 +8,10 @@ CD x 1000 + F1 (:66-95).
 
 from __future__ import annotations
 
+import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,12 +20,19 @@ from ldt_tpu.ops.geometry import furthest_point_sample, index_points
 from ldt_tpu.training.compressor_trainer import Trainer as CompressorTrainer
 
 
-def fps_to(pc, n: int):
-    """FPS-downsample [B, N, 3] -> [B, n, 3] (the entry-side 2048-point
-    subsampling, train_Completion_Compressor.py:55-57)."""
-    pc = jnp.asarray(pc)
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fps_to(pc, n: int):
     idx = furthest_point_sample(pc, n)
     return index_points(pc, idx)
+
+
+def fps_to(pc, n: int):
+    """FPS-downsample [B, N, 3] -> [B, n, 3] (the entry-side 2048-point
+    subsampling, train_Completion_Compressor.py:55-57). One jitted dispatch;
+    the result stays on device — keep it there (no np.asarray between FPS
+    and the train step: a device->host->device bounce per step is pure
+    transport latency on the tunnel)."""
+    return _fps_to(jnp.asarray(pc), int(n))
 
 
 class Trainer(CompressorTrainer):
@@ -31,10 +40,12 @@ class Trainer(CompressorTrainer):
         """Accepts either a raw [B, N, 3] array (reference calling
         convention) or a ViPC batch dict."""
         if isinstance(data, dict) and "tr_points" not in data:
-            data = {"tr_points": np.asarray(data["pc"]),
+            data = {"tr_points": jnp.asarray(data["pc"]),
                     "cate_idx": np.zeros((len(data["pc"]),), np.int32)}
         elif not isinstance(data, dict):
-            data = {"tr_points": np.asarray(data),
+            # device arrays (fps_to output) pass straight through — no
+            # host round-trip before the jitted train step
+            data = {"tr_points": jnp.asarray(data),
                     "cate_idx": np.zeros((data.shape[0],), np.int32)}
         return super().update(data)
 

@@ -43,9 +43,12 @@ class Trainer(LatentSDETrainer):
         discrete = self.discrete
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def cond_train_step(state: TrainState, eps, condition, lr, rng):
-            # encode runs in the parent class's separate `_encode_step` jit
-            # (see latent_sde_trainer.py for why the jits are split)
+        def cond_train_step(state: TrainState, eps, condition, lr, base):
+            # encode runs in the parent class's separate `_encode_at_step`
+            # jit (see latent_sde_trainer.py for why the jits are split).
+            # Per-step randomness derived ON DEVICE as fold_in(base, step) —
+            # a host-side random.split per step costs ~100 ms on the tunnel.
+            rng = jax.random.fold_in(base, state.step)
             _, k_t, k_eta = jax.random.split(rng, 3)
             size = eps.shape[0]
             if discrete:
@@ -168,11 +171,12 @@ class Trainer(LatentSDETrainer):
                                  (pts.shape[0], 224, 224, 3))})
         pts, condition = shard_batch(self.mesh, (pts, condition))
         lr = self.current_lr()
-        self.rng, k = jax.random.split(self.rng)
-        k_enc, _ = jax.random.split(k)
-        eps = self._encode_step(self.comp_vars, pts, k_enc, None)
+        # zero host-side RNG dispatches per step: both jits fold the
+        # on-device step counter into fixed base keys
+        eps = self._encode_at_step(self.comp_vars, pts, self._enc_base,
+                                   self.state.step, None)
         self.state, loss = self._cond_train_step(self.state, eps, condition,
-                                                 lr, k)
+                                                 lr, self._base_key)
         self.itr += 1
         return loss
 

@@ -71,6 +71,9 @@ class Trainer(LatentSDETrainer):
         self.discrete = True
         self._build_steps()
         self.discrete = cfg_discrete
+        # separate fixed base for the joint-compressor jit's on-device
+        # fold_in(base, step) keys (see latent_sde_trainer.py:80-86)
+        self.rng, self._hyb_base = jax.random.split(self.rng)
         self._build_hybrid_step()
 
     def _build_hybrid_step(self):
@@ -101,12 +104,15 @@ class Trainer(LatentSDETrainer):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def hybrid_comp_step(comp_state: TrainState, score_params, pts, label,
-                             comp_lr, alpha, rng):
+                             comp_lr, alpha, base):
             """Joint compressor update (needs the score fwd inside for the
             diffusion-prior KL). The score's own update runs in the parent's
             separate `_train_step` jit on the detached latents — smaller
             programs compile an order of magnitude faster on the remote
-            transport, same math."""
+            transport, same math. Per-step randomness is derived ON DEVICE
+            as fold_in(base, step): a host-side random.split per step costs
+            ~100 ms on the tunnel transport."""
+            rng = jax.random.fold_in(base, comp_state.step)
             k_s, k_t1, k_eta1 = jax.random.split(rng, 3)
             size = pts.shape[0]
             t, var, e2int, weight_q = diffuse_quantities(k_t1, size)
@@ -148,6 +154,14 @@ class Trainer(LatentSDETrainer):
 
         self._hybrid_comp_step = hybrid_comp_step
 
+        @jax.jit
+        def recon_step(comp_vars, pts, label, rng):
+            out = compressor.apply(comp_vars, pts, label=label,
+                                   rngs={"sample": rng})
+            return out["set"]
+
+        self._recon_step = recon_step
+
     # ------------------------------------------------------------ lifecycle
     def maybe_init(self, batch):
         super().maybe_init(batch)
@@ -172,20 +186,82 @@ class Trainer(LatentSDETrainer):
         # alpha warm-up (Hybrid_Trainer.py:149-153)
         alpha = (self.alpha / 10.0 if self.epoch < self.compressor_warmup
                  else self.alpha)
-        self.rng, k = jax.random.split(self.rng)
-        k_comp, k_score = jax.random.split(k)
+        # zero host-side RNG dispatches and zero blocking pulls per step:
+        # both jits fold the on-device step counter into fixed base keys,
+        # and the meter scalars are returned as DEVICE arrays — they only
+        # feed epoch-level CSV rows (no per-step watchdog in this stage),
+        # so the entry syncs them once per epoch.
         self.comp_state, eps, kl, rec = self._hybrid_comp_step(
-            self.comp_state, self.state.params, pts, label, lr, alpha, k_comp)
+            self.comp_state, self.state.params, pts, label, lr, alpha,
+            self._hyb_base)
         # score step on detached latents (Hybrid_Trainer.py:88-113), via the
         # parent stage-2 update jit
         self.state, loss_score = self._train_step(self.state, eps, label, lr,
-                                                  k_score)
+                                                  self._base_key)
         self._sync_comp_vars()
         self.itr += 1
-        # one batched host pull for the three meter scalars (see
-        # compressor_trainer.update — avoids per-scalar round-trips on
-        # remote transports)
-        return jax.device_get((loss_score, kl, rec))
+        return loss_score, kl, rec
+
+    # ----------------------------------------------------------------- eval
+    def valrecon(self, test_loader, val_cate=0, **_):
+        """Compressor reconstruction eval during the joint finetune
+        (reference trainer/Hybrid_Trainer.py:249-307): encode-decode the
+        test split, denormalize per cloud, dump rec_ep{N}.npy, score with
+        compute_all_metrics(batch_size=256).
+
+        Intentional divergences (see README):
+          * the reference's single-category branch calls `self.model(ref_pts)`
+            — the SCORE net — on raw points (Hybrid_Trainer.py:260), which
+            only runs because `Score.forward` never validates its input; the
+            reconstruction there is meaningless. We use the compressor, which
+            is evidently what was meant (the multi-category branch does).
+          * the reference's multi-category branch denormalizes with
+            `data['mean']/data['std']`; our loader emits the same statistics
+            under the 'shift'/'scale' keys everywhere.
+        """
+        variables = dict(self.comp_vars)
+        all_ref, all_rec = [], []
+        if self.cfg.data.num_categorys == 1:
+            for data in test_loader:
+                ref_pts = jnp.asarray(data["te_points"])
+                rec_pts = self._recon_step(variables, ref_pts, None,
+                                           jax.random.key(0))
+                shift = jnp.asarray(data["shift"])
+                scale = jnp.asarray(data["scale"])
+                all_ref.append(np.asarray(ref_pts * scale + shift))
+                all_rec.append(np.asarray(rec_pts * scale + shift))
+        else:
+            pts_l, shift_l, scale_l, label_l = [], [], [], []
+            for data in test_loader:
+                idx = np.asarray(data["cate_idx"]) == val_cate
+                if not idx.any():
+                    continue
+                pts_l.append(np.asarray(data["te_points"])[idx])
+                shift_l.append(np.asarray(data["shift"])[idx])
+                scale_l.append(np.asarray(data["scale"])[idx])
+                label_l.append(np.asarray(data["cate_idx"])[idx])
+            pts = np.concatenate(pts_l)
+            shift = np.concatenate(shift_l)
+            scale = np.concatenate(scale_l)
+            label = np.concatenate(label_l)
+            bsize = self.cfg.data.test_batch_size
+            for i in range(0, pts.shape[0], bsize):
+                chunk = jnp.asarray(pts[i:i + bsize])
+                rec_pts = self._recon_step(
+                    variables, chunk, jnp.asarray(label[i:i + bsize]),
+                    jax.random.key(0))
+                all_rec.append(np.asarray(rec_pts))
+            rec_n = np.concatenate(all_rec)
+            all_rec = [rec_n * scale + shift]
+            all_ref = [pts * scale + shift]
+        rec = np.concatenate(all_rec)
+        ref = np.concatenate(all_ref)
+        np.save(os.path.join(self.cfg.log.save_path,
+                             f"rec_ep{self.epoch}.npy"), rec)
+        gen_res = compute_all_metrics(rec, ref, batch_size=256)
+        all_res = {f"val/gen/{k}": float(v) for k, v in gen_res.items()}
+        print(f"Validation Sample (unit) Epoch:{self.epoch} ", gen_res)
+        return all_res
 
     # --------------------------------------------------------- checkpoints
     def save(self):

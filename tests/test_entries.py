@@ -122,6 +122,24 @@ class TestEntryPoints:
                                  "training.csv")).read().strip().split("\n")
         assert len(rows) >= 2  # header + >=1 epoch row
 
+    def test_hybrid_valrecon(self, workspace):
+        """Hybrid reconstruction eval (reference Hybrid_Trainer.py:249-307;
+        we use the compressor where the reference's single-category branch
+        mistakenly calls the score net on raw points)."""
+        cfg = tiny_cfg(workspace, "Hybrid_Trainer", HYBRID_LOG)
+        from ldt_tpu.data import get_data_loaders
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.training.hybrid_trainer import Trainer
+
+        loaders = get_data_loaders(cfg.data, make_args())
+        trainer = Trainer(cfg, model=Score(cfg.score),
+                          compressor=Compressor(cfg.compressor))
+        trainer.maybe_init(next(iter(loaders["train_loader"])))
+        res = trainer.valrecon(loaders["test_loader"])
+        assert np.isfinite(res["val/gen/mmd-CD"])
+        assert os.path.exists(os.path.join(
+            cfg.log.save_path, f"rec_ep{trainer.epoch}.npy"))
+
     def test_val_sample(self, workspace, monkeypatch, tmp_path):
         # generated samples identical to refs -> near-perfect metrics
         monkeypatch.chdir(tmp_path)

@@ -52,6 +52,24 @@ def test_fallback_float64_and_failures(tree):
         .astype(np.float32))
 
 
+def test_strict_shape_raises(tree):
+    """Readable-but-wrong-shape files fail loudly under strict_shape (the
+    reference hard-asserts 15000 points after a successful load,
+    ShapeNet_55.py:101); unreadable files are still just masked out."""
+    import pytest
+
+    paths, _, d = tree
+    bad_shape = str(d / "bad2.npy")
+    np.save(bad_shape, np.zeros((3, 3), np.float32))
+    missing = str(d / "nope2.npy")
+    with pytest.raises(ValueError, match="shape"):
+        fastload.load_npy_batch([paths[0], bad_shape], (50, 3),
+                                strict_shape=True)
+    _, ok = fastload.load_npy_batch([paths[0], missing], (50, 3),
+                                    strict_shape=True)
+    assert list(ok) == [True, False]
+
+
 def test_dataset_uses_bulk_loader(tmp_path):
     """Uniform15KPC end-to-end over the bulk path: same content + the
     seed-38383 shuffle as before."""

@@ -59,9 +59,11 @@ def main(args, cfg):
             for epoch in range(trainer.epoch, cfg.common.epochs + 1):
                 tbar = progress(train_loader, desc=f"Epoch {epoch}")
                 for data in tbar:
+                    # device array straight into the jitted step (the meter
+                    # pull below syncs anyway — the watchdog reads per step —
+                    # but the extra FPS device->host->device bounce is gone)
                     pc = fps_to(data["pc"], cfg.common.num_points)
-                    loss, kl_loss, rec_loss, max_feature = trainer.update(
-                        np.asarray(pc))
+                    loss, kl_loss, rec_loss, max_feature = trainer.update(pc)
                     meters["loss"].update(loss)
                     meters["kl"].update(kl_loss)
                     meters["rec"].update(rec_loss)

@@ -57,11 +57,13 @@ def main(args, cfg):
             # async dispatch queue on remote transports)
             epoch_losses = []
             for data in tbar:
+                # fps_to outputs stay ON DEVICE end-to-end — an np.asarray
+                # here is a blocking device->host->device bounce per step
                 pc = fps_to(data["pc"], cfg.common.num_points)
                 pc_part = fps_to(data["pc_part"], cfg.common.num_points)
                 condition = {"img": np.asarray(data["views"]),
-                             "pts": np.asarray(pc_part)}
-                epoch_losses.append(trainer.update(np.asarray(pc), condition))
+                             "pts": pc_part}
+                epoch_losses.append(trainer.update(pc, condition))
             for loss in epoch_losses:
                 loss_meter.update(loss)
             trainer.epoch_end()

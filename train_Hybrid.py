@@ -36,8 +36,14 @@ def main(args, cfg):
     if not args.evaluate:
         for epoch in range(trainer.epoch, cfg.common.epochs + 1):
             tbar = progress(train_loader, desc=f"Epoch {epoch}")
+            # keep per-step meter values as DEVICE arrays and sync once per
+            # epoch (see train_Latent_Diffusion.py — a float() per step
+            # serializes the async dispatch queue on remote transports; the
+            # meters only feed epoch-level CSV rows, no per-step watchdog)
+            epoch_vals = []
             for data in tbar:
-                loss_score, kl, rec = trainer.update(data)
+                epoch_vals.append(trainer.update(data))
+            for loss_score, kl, rec in epoch_vals:
                 meters["loss_score"].update(loss_score)
                 meters["kl"].update(kl)
                 meters["rec"].update(rec)
