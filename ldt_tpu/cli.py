@@ -31,6 +31,11 @@ def get_parser(trainer_type: str, description: str = "LDT-TPU"):
                         choices=[True, False])
     parser.add_argument("--finetune", type=eval, default=False,
                         choices=[True, False])
+    # which category a multi-category ('all') run evaluates in valsample.
+    # The reference hard-codes 14 (train-time eval) / 13 (--evaluate) in
+    # train_Latent_Diffusion.py:60,85 ("# 0 airplane 13 car 14 chair");
+    # here it is a knob: CLI > cfg.common.val_cate > 0.
+    parser.add_argument("--val_cate", type=int, default=None)
     return parser
 
 

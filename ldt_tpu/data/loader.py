@@ -45,15 +45,33 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2, collate_fn=default_collate):
+                 prefetch: int = 2, collate_fn=default_collate,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        # num_workers > 0: fetch the items of each batch through a thread
+        # pool (the reference's num_workers=4 DataLoader semantics,
+        # datasets/ViPC.py:293-311). Matters for per-item IO-bound datasets
+        # — the non-preload ViPC path does a PIL decode + two pickle loads
+        # per item, which serialize behind one prefetch thread otherwise;
+        # RAM-resident datasets (ShapeNet) gain nothing.
+        self.num_workers = int(num_workers or 0)
+        self._pool = None
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
+
+    def _item_pool(self):
+        if self.num_workers > 0 and self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="ldt-loader")
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -76,10 +94,18 @@ class DataLoader:
         sentinel = object()
         error: list = []
 
+        pool = self._item_pool()
+
+        def fetch(idxs):
+            if pool is not None:
+                return list(pool.map(self.dataset.__getitem__,
+                                     [int(i) for i in idxs]))
+            return [self.dataset[int(i)] for i in idxs]
+
         def producer():
             try:
                 for idxs in self._index_batches():
-                    q.put(self.collate_fn([self.dataset[int(i)] for i in idxs]))
+                    q.put(self.collate_fn(fetch(idxs)))
             except BaseException as e:  # re-raised on the consumer side
                 error.append(e)
             finally:

@@ -208,9 +208,14 @@ def get_data_loaders(cfg):
         getattr(cfg, "test_list", "datasets/ViPC/test_list2.txt"),
         cfg.data_dir, status="test", category=cfg.test_cate,
         preload=cfg.test_preload)
+    # thread-pool item fetch (reference num_workers=4 semantics) — the
+    # non-preload path is IO-bound (PIL decode + two pickle loads per item)
+    workers = int(getattr(cfg, "num_workers", 4) or 0)
     train_loader = DataLoader(tr_dataset, batch_size=cfg.batch_size,
                               shuffle=True, drop_last=False,
-                              seed=getattr(cfg, "seed", 0))
+                              seed=getattr(cfg, "seed", 0),
+                              num_workers=0 if cfg.train_preload else workers)
     test_loader = DataLoader(te_dataset, batch_size=cfg.test_batch_size,
-                             shuffle=False, drop_last=False)
+                             shuffle=False, drop_last=False,
+                             num_workers=0 if cfg.test_preload else workers)
     return {"train_loader": train_loader, "test_loader": test_loader}

@@ -32,31 +32,35 @@ from ldt_tpu.ops.emd import approx_match_cost
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("with_emd",))
-def _pair_block(sample_block: jax.Array, ref_block: jax.Array,
-                with_emd: bool = False):
-    """All-pairs CD (and optionally EMD) between two blocks of clouds.
+# The mesh the pair tiles shard over. Trainers register their active mesh
+# (BaseTrainer.__init__) so that under tensor parallelism eval tiles land on
+# the SAME device mesh as the training state — a fresh 1-D mesh over all
+# devices would conflict with an active 2-D data x model placement. The
+# mesh is a STATIC jit argument, so switching meshes retraces rather than
+# silently reusing a stale placement.
+_EVAL_MESH = None
 
-    sample_block: [S, N, 3]; ref_block: [R, M, 3] ->
-      cd [S, R] (= mean_n dl + mean_m dr, squared distances), and emd [S, R]
-      (approx-match cost / M) when requested.
 
-    When multiple devices are visible the flattened S*R pair axis is sharded
-    over a 1-D `data` mesh: each device computes its slice of the pair tile
-    (the pairs are embarrassingly parallel — the TPU-native answer to the
-    reference's O(N^2) per-pair kernel-launch loop,
-    evaluation_metrics.py:112-162).
-    """
+def set_eval_mesh(mesh) -> None:
+    """Register the mesh eval pair tiles shard over (None -> default)."""
+    global _EVAL_MESH
+    _EVAL_MESH = mesh
+
+
+@functools.partial(jax.jit, static_argnames=("with_emd", "mesh"))
+def _pair_block_impl(sample_block: jax.Array, ref_block: jax.Array,
+                     with_emd: bool, mesh):
     s, n, _ = sample_block.shape
     r, m, _ = ref_block.shape
     xs = jnp.repeat(sample_block, r, axis=0)          # [S*R, N, 3]
     ys = jnp.tile(ref_block, (s, 1, 1))               # [S*R, M, 3]
-    if jax.device_count() > 1 and (s * r) % jax.device_count() == 0:
+    if mesh is not None and (s * r) % mesh.size == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ldt_tpu.parallel.mesh import data_mesh
-
-        sharding = NamedSharding(data_mesh(), P("data"))
+        # shard the flattened pair axis over EVERY mesh axis — pairs are
+        # embarrassingly parallel, so even a model-parallel axis is useful
+        # data parallelism during eval
+        sharding = NamedSharding(mesh, P(mesh.axis_names))
         xs = jax.lax.with_sharding_constraint(xs, sharding)
         ys = jax.lax.with_sharding_constraint(ys, sharding)
     dl, dr, _, _ = chamfer_distance(xs, ys)
@@ -65,6 +69,28 @@ def _pair_block(sample_block: jax.Array, ref_block: jax.Array,
         return cd
     emd = (approx_match_cost(xs, ys) / float(m)).reshape(s, r)
     return cd, emd
+
+
+def _pair_block(sample_block: jax.Array, ref_block: jax.Array,
+                with_emd: bool = False):
+    """All-pairs CD (and optionally EMD) between two blocks of clouds.
+
+    sample_block: [S, N, 3]; ref_block: [R, M, 3] ->
+      cd [S, R] (= mean_n dl + mean_m dr, squared distances), and emd [S, R]
+      (approx-match cost / M) when requested.
+
+    The flattened S*R pair axis is sharded over the registered eval mesh
+    (or a 1-D mesh over all devices by default): each device computes its
+    slice of the pair tile — the TPU-native answer to the reference's
+    O(N^2) per-pair kernel-launch loop (evaluation_metrics.py:112-162).
+    """
+    mesh = _EVAL_MESH
+    if mesh is None and jax.device_count() > 1:
+        from ldt_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh()
+    return _pair_block_impl(sample_block, ref_block, with_emd=with_emd,
+                            mesh=mesh)
 
 
 def _iter_blocks(total: int, block: int):
@@ -189,7 +215,10 @@ def knn(mxx: np.ndarray, mxy: np.ndarray, myy: np.ndarray, k: int,
     if sqrt:
         mat = np.sqrt(np.abs(mat))
     np.fill_diagonal(mat, np.inf)
-    idx = np.argsort(mat, axis=0)[:k]  # k smallest per column
+    # k smallest per column; argpartition is O(N^2) vs argsort's
+    # O(N^2 log N) — the count below is order-free, so no full sort needed
+    # (matters at the reference's bigger eval sets, e.g. car's 5,248 clouds)
+    idx = np.argpartition(mat, k - 1, axis=0)[:k]
     count = label[idx].sum(axis=0)
     pred = (count >= (float(k) / 2)).astype(np.float64)
 

@@ -242,6 +242,7 @@ class Encoder(nn.Module):
     num_layers: int = 1
     AdaLN: bool = True
     fused_attention: bool = False
+    ref_merge: bool = False  # reference head-merge compat (nn/layers.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -254,7 +255,7 @@ class Encoder(nn.Module):
                 norm=self.norm, mlp_ratio=self.mlp_ratio,
                 dropout_att=self.dropout_p, dropout_mlp=self.dropout_p,
                 AdaLN=self.AdaLN, fused_attention=self.fused_attention,
-                dtype=self.dtype, name=f"att{i}",
+                ref_merge=self.ref_merge, dtype=self.dtype, name=f"att{i}",
             )(x, x, pos, deterministic=deterministic)
         o = FinalLayer(self.dim_in, dim_c=self.p_dim, norm=self.norm,
                        dtype=self.dtype, name="conv_out")(x, pos)
@@ -279,13 +280,14 @@ class DecoderBlock(nn.Module):
     act: Optional[str] = None
     c_dim: Optional[int] = None
     fused_attention: bool = False
+    ref_merge: bool = False  # reference head-merge compat (nn/layers.py)
     dtype: Dtype = jnp.float32
 
     def setup(self):
         common = dict(num_heads=self.num_heads, norm=self.norm,
                       mlp_ratio=self.mlp_ratio, dropout_att=self.dropout_p,
                       act=self.act, fused_attention=self.fused_attention,
-                      dtype=self.dtype)
+                      ref_merge=self.ref_merge, dtype=self.dtype)
         self.att = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
         self.prior_dense = Dense(2 * self.dim_z, dtype=self.dtype)
         self.att1 = ResidualBlock(self.dim_in, dim_c=self.c_dim, **common)
@@ -321,12 +323,21 @@ class Compressor(nn.Module):
     # 2048-query x 32-key decode cross-attention (Network.py:80-83);
     # differentiable (custom VJP), so valid for training too.
     fused_attention: bool = False
+    # reference head-merge compat for imported torch checkpoints
+    # (ldt_tpu/tools/port.py; see nn/layers.py::Attention.ref_merge)
+    ref_merge: bool = False
 
     def setup(self):
         cfg = self.cfg
         self.input_dense = Dense(cfg.hidden_dim, dtype=self.dtype)
         if cfg.ActNorm is not None and cfg.ActNorm is not False:
-            ft = "set" if cfg.ActNorm is True else cfg.ActNorm
+            # The reference passes cfg.ActNorm straight through as
+            # `feature_type` and only the literal string 'set' selects
+            # batch*token-pooled stats (model/layers.py:86-101); the shipped
+            # configs set `ActNorm: True` (a bool), which therefore lands on
+            # the OTHER branch: PER-TOKEN stats with [1, z_scales, hidden]
+            # shift/log_scale. Mirror that dispatch exactly.
+            ft = cfg.ActNorm if cfg.ActNorm == "set" else "token"
             self.conv_in = ActNorm(cfg.hidden_dim, cfg.z_scales,
                                    feature_type=ft)
         self.group = LocalGrouper(cfg.hidden_dim, True,
@@ -352,7 +363,7 @@ class Compressor(nn.Module):
                     dropout_p=cfg.encoder_dropout_p,
                     num_layers=cfg.encoder_layers, mlp_ratio=cfg.mlp_ratio,
                     AdaLN=cfg.AdaLN, fused_attention=self.fused_attention,
-                    dtype=self.dtype)
+                    ref_merge=self.ref_merge, dtype=self.dtype)
             for _ in range(cfg.n_layers)
         ]
         self.decoder = [
@@ -361,7 +372,7 @@ class Compressor(nn.Module):
                          mlp_ratio=cfg.mlp_ratio, min_sigma=cfg.min_sigma,
                          act=cfg.decoder_act, c_dim=label_dim,
                          fused_attention=self.fused_attention,
-                         dtype=self.dtype)
+                         ref_merge=self.ref_merge, dtype=self.dtype)
             for _ in range(cfg.n_layers)
         ]
         self.output_dense = Dense(3, dtype=self.dtype)

@@ -123,13 +123,17 @@ class Score(nn.Module):
     cfg: Any
     dtype: Dtype = jnp.float32
     fused_attention: bool = False  # Pallas attention core (sampling path)
+    # reference head-merge compat for imported torch checkpoints
+    # (ldt_tpu/tools/port.py; see nn/layers.py::Attention.ref_merge)
+    ref_merge: bool = False
 
     def setup(self):
         cfg = self.cfg
         block = dict(dim_c=cfg.t_dim, num_heads=cfg.num_heads, norm=cfg.norm,
                      dropout_att=cfg.dropout, dropout_mlp=cfg.dropout,
                      act=cfg.act, AdaLN=cfg.AdaLN,
-                     fused_attention=self.fused_attention, dtype=self.dtype)
+                     fused_attention=self.fused_attention,
+                     ref_merge=self.ref_merge, dtype=self.dtype)
         if cfg.condition:
             self.c_net = ConditionNet(cfg.hidden_size, cfg.t_dim,
                                       patch_size=cfg.z_scale, dtype=self.dtype)

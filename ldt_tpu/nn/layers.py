@@ -261,6 +261,15 @@ class Attention(nn.Module):
     num_heads: int
     dropout_p: float = 0.0
     fused_core: bool = False
+    # Reproduce the reference's head merge: `(w @ v).reshape(B, N, C)` on a
+    # [B, H, N, dh] tensor (model/layers.py:197) — a reshape WITHOUT the
+    # transpose, i.e. a fixed scramble that mixes tokens into channels. It
+    # cannot be folded into fc_o (it permutes across tokens), so checkpoints
+    # trained under it (all released reference weights) only reproduce their
+    # outputs under the same merge. Off by default — our framework trains
+    # with the standard merge; turn on via Score/Compressor(ref_merge=True)
+    # when running weights imported by ldt_tpu/tools/port.py.
+    ref_merge: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -272,7 +281,8 @@ class Attention(nn.Module):
         dense_q = Dense(d, dtype=self.dtype, name="fc_q")
         dense_kv = Dense(2 * d, dtype=self.dtype, name="fc_kv")
         att = None
-        if (self.fused_core and x is y and not self.is_initializing()):
+        fused_core = self.fused_core and not self.ref_merge
+        if (fused_core and x is y and not self.is_initializing()):
             # self-attention fast path: q and kv come from the SAME input, so
             # run one [D, 3D] GEMM against the concatenated kernels instead
             # of two launches (param tree unchanged: kernels read from the
@@ -297,7 +307,7 @@ class Attention(nn.Module):
             m = k.shape[1]
         if att is not None:
             pass
-        elif self.fused_core:
+        elif fused_core:
             # Pallas kernel: per-head lane slices in VMEM, no HBM relayouts,
             # any N x M, differentiable via a Pallas backward kernel
             # (ldt_tpu/ops/pallas_attention.py); params identical to the
@@ -307,13 +317,26 @@ class Attention(nn.Module):
             att = fused_attention(q, k, v, h,
                                   jax.default_backend() != "tpu")
         else:
-            q = q.reshape(b, n, h, dh)
-            k = k.reshape(b, m, h, dh)
-            v = v.reshape(b, m, h, dh)
-            w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
-            w = jax.nn.softmax(w.astype(jnp.float32),
-                               axis=-1).astype(self.dtype)
-            att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+            if self.ref_merge:
+                # reference split: reshape(B, C, N)-style — channels-first
+                # [C, N].reshape(H, dh, N) means head h owns channel rows
+                # [h*dh:(h+1)*dh], same as ours, BUT merged back with the
+                # token-scrambling reshape (see class docstring)
+                q = q.reshape(b, n, h, dh)
+                k = k.reshape(b, m, h, dh)
+                v = v.reshape(b, m, h, dh)
+                w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
+                w = jax.nn.softmax(w.astype(jnp.float32),
+                                   axis=-1).astype(self.dtype)
+                att = jnp.einsum("bhnm,bmhd->bhnd", w, v).reshape(b, n, d)
+            else:
+                q = q.reshape(b, n, h, dh)
+                k = k.reshape(b, m, h, dh)
+                v = v.reshape(b, m, h, dh)
+                w = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dh ** -0.5)
+                w = jax.nn.softmax(w.astype(jnp.float32),
+                                   axis=-1).astype(self.dtype)
+                att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
         att = Dense(d, dtype=self.dtype, name="fc_o")(att)
         if self.dropout_p > 0:
             att = nn.Dropout(self.dropout_p)(att, deterministic=deterministic)
@@ -349,6 +372,7 @@ class ResidualBlock(nn.Module):
     AdaLN: bool = True
     act: Optional[str] = None
     fused_attention: bool = False
+    ref_merge: bool = False  # reference head-merge compat (see Attention)
     dtype: Dtype = jnp.float32
 
     def compute_mods(self, c: jax.Array) -> jax.Array:
@@ -391,6 +415,7 @@ class ResidualBlock(nn.Module):
         act = get_activation(self.act)
         attn = Attention(dim_out, self.num_heads, self.dropout_att,
                          fused_core=self.fused_attention,
+                         ref_merge=self.ref_merge,
                          dtype=self.dtype, name="attn")
         mlp = MLP(int(self.mlp_ratio * dim_out), dim_out, n_hidden=1,
                   dropout_p=self.dropout_mlp, dtype=self.dtype, name="mlp")

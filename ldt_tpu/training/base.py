@@ -33,6 +33,12 @@ class BaseTrainer:
             else:
                 mesh = data_mesh()
         self.mesh = mesh
+        if mesh is not None:
+            # eval pair tiles must shard over the SAME mesh as the training
+            # state (a fresh 1-D mesh would conflict with 2-D TP placement)
+            from ldt_tpu.eval.metrics import set_eval_mesh
+
+            set_eval_mesh(mesh)
         self.lr_fn = make_lr_fn(cfg.opt.lr, cfg.opt.warmup_iters,
                                 cfg.common.epochs)
         self.base_lr = cfg.opt.lr  # mutable: NaN watchdog halves it

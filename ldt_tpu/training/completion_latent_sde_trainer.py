@@ -39,7 +39,8 @@ class Trainer(LatentSDETrainer):
         loss_type = cfg.opt.loss_type
         ema_decay = self.ema_decay
         iw_mode = cfg.sde.iw_sample_p_mode
-        subvp_like = self.sde_type == "sub_vpsde"
+        subvp_like = getattr(cfg.sde, "iw_subvp_like_vp_sde",
+                             self.sde_type == "sub_vpsde")
         discrete = self.discrete
 
         @functools.partial(jax.jit, donate_argnums=(0,))

@@ -84,7 +84,8 @@ class Trainer(LatentSDETrainer):
         ema_decay = self.ema_decay
         loss_type = cfg.opt.loss_type
         iw_q = cfg.sde.iw_sample_q_mode
-        subvp_like = self.sde_type == "sub_vpsde"
+        subvp_like = getattr(cfg.sde, "iw_subvp_like_vp_sde",
+                             self.sde_type == "sub_vpsde")
         time_eps = self.time_eps
         discrete = self.discrete  # captured at build time (cfg.opt.discrete)
 

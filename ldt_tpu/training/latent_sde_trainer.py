@@ -115,7 +115,11 @@ class Trainer(BaseTrainer):
         loss_type = cfg.opt.loss_type
         ema_decay = self.ema_decay
         iw_mode = cfg.sde.iw_sample_p_mode
-        subvp_like = self.sde_type == "sub_vpsde"
+        # the reference derives this from sde_type in every trainer
+        # (Latent_SDE_Trainer.py:126); an explicit `sde.iw_subvp_like_vp_sde`
+        # config key overrides (enables the like_vp=False sub-VP variants)
+        subvp_like = getattr(cfg.sde, "iw_subvp_like_vp_sde",
+                             self.sde_type == "sub_vpsde")
         # captured at BUILD time so Hybrid can rebuild the score step in
         # discrete mode independently of cfg.opt.discrete (see hybrid_trainer)
         discrete = self.discrete

@@ -89,6 +89,53 @@ class TestLoader:
         seen = np.sort(np.concatenate([b["x"] for b in dl]))
         np.testing.assert_array_equal(seen, np.arange(10, dtype=np.float32))
 
+    def test_worker_pool_same_batches(self):
+        """num_workers item fetch preserves batch contents AND order."""
+        data = [{"x": np.full((2,), i, np.float32)} for i in range(11)]
+        want = [b["x"] for b in DataLoader(data, batch_size=3, seed=0)]
+        got = [b["x"] for b in DataLoader(data, batch_size=3, seed=0,
+                                          num_workers=4)]
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
+    def test_worker_pool_parallelizes_io(self):
+        """IO-bound items (GIL released, like PIL/pickle reads on the
+        non-preload ViPC path) overlap under the thread pool — the
+        reference's num_workers=4 DataLoader semantics."""
+        import time
+
+        class SlowDS:
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                time.sleep(0.02)  # stands in for file IO
+                return {"x": np.float32(i)}
+
+        t0 = time.time()
+        list(DataLoader(SlowDS(), batch_size=8))
+        serial = time.time() - t0
+        t0 = time.time()
+        list(DataLoader(SlowDS(), batch_size=8, num_workers=8))
+        pooled = time.time() - t0
+        assert pooled < serial / 2, (serial, pooled)
+
+    def test_worker_pool_propagates_errors(self):
+        class BadDS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise RuntimeError("corrupt item")
+                return {"x": np.float32(i)}
+
+        import pytest
+
+        with pytest.raises(RuntimeError, match="corrupt item"):
+            list(DataLoader(BadDS(), batch_size=4, num_workers=2))
+
 
 class TestCsvLogger:
     def test_schema_driven_write(self, tmp_path):

@@ -122,6 +122,29 @@ class TestEntryPoints:
                                  "training.csv")).read().strip().split("\n")
         assert len(rows) >= 2  # header + >=1 epoch row
 
+    def test_val_cate_plumbed(self, workspace, monkeypatch):
+        """--val_cate / cfg.common.val_cate reaches valsample (the reference
+        hard-codes 14/13 at train_Latent_Diffusion.py:60,85)."""
+        from ldt_tpu.training.latent_sde_trainer import Trainer
+
+        seen = {}
+
+        def fake_valsample(self, test_loader, val_cate=0, vis=False):
+            seen["val_cate"] = val_cate
+            return {"val/gen/mmd-CD": 0.0}
+
+        monkeypatch.setattr(Trainer, "valsample", fake_valsample)
+        monkeypatch.setattr(Trainer, "load_pretrain", lambda self: None)
+        cfg = tiny_cfg(workspace, "Latent_Diffusion_Trainer", SDE_LOG)
+        train_Latent_Diffusion.main(
+            make_args(evaluate=True, val_cate=7), cfg)
+        assert seen["val_cate"] == 7
+        # config fallback when the CLI flag is absent
+        cfg2 = tiny_cfg(workspace, "Latent_Diffusion_Trainer", SDE_LOG)
+        cfg2.common.val_cate = 3
+        train_Latent_Diffusion.main(make_args(evaluate=True), cfg2)
+        assert seen["val_cate"] == 3
+
     def test_hybrid_valrecon(self, workspace):
         """Hybrid reconstruction eval (reference Hybrid_Trainer.py:249-307;
         we use the compressor where the reference's single-category branch

@@ -24,6 +24,8 @@ def main(args, cfg):
 
     trainer = Trainer(cfg, model=model, compressor=compressor, rng=rng)
     trainer.info(vars(args))
+    val_cate = (args.val_cate if getattr(args, "val_cate", None) is not None
+                else getattr(cfg.common, "val_cate", 0))
 
     trainer.maybe_init(next(iter(train_loader)))
     if args.resume:
@@ -57,7 +59,8 @@ def main(args, cfg):
                 for m in meters.values():
                     m.reset()
             if (trainer.epoch - 1) % cfg.log.eval_epoch_freq == 0:
-                all_res = trainer.valsample(test_loader=test_loader)
+                all_res = trainer.valsample(test_loader=test_loader,
+                                            val_cate=val_cate)
                 trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
                 try:
                     trainer.write_log(
@@ -66,7 +69,8 @@ def main(args, cfg):
                 except Exception:
                     print("write log failed")
     else:
-        all_res = trainer.valsample(test_loader=test_loader)
+        all_res = trainer.valsample(test_loader=test_loader,
+                                    val_cate=val_cate)
         trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
                           mode="eval")
 
