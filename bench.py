@@ -60,12 +60,33 @@ def main():
     from ldt_tpu.models.score import Score as ScoreCls
 
     use_mods = os.environ.get("LDT_BENCH_MODS", "1") == "1"
+    # int8 serving path (W8A8 dynamic, ldt_tpu/serving/int8.py). Changes
+    # sampler numerics — gated by scripts/int8_golden_gate.py; OFF by
+    # default so the headline number stays the bf16-exact path.
+    use_int8 = os.environ.get("LDT_BENCH_INT8", "0") == "1"
 
     def make_score_fn(params):
         if use_mods:
             schedule = jnp.linspace(1.0, 1e-6, steps)
             mods = score.apply({"params": params}, schedule,
                                method=ScoreCls.precompute_mods)
+            if use_int8:
+                from ldt_tpu.serving.int8 import (
+                    denoise_with_mods_int8,
+                    quantize_score_params,
+                )
+
+                qparams = quantize_score_params(params, scfg.num_blocks)
+
+                def score_fn(t, x, step):
+                    step_mods = jax.tree_util.tree_map(
+                        lambda m: m[step], mods)
+                    p = denoise_with_mods_int8(
+                        x, step_mods, qparams, scfg.num_heads,
+                        interpret=jax.default_backend() != "tpu")
+                    std = sde.std(t)[:, None, None]
+                    return -p.astype(jnp.float32) / std, p
+                return score_fn
 
             def score_fn(t, x, step):
                 step_mods = jax.tree_util.tree_map(lambda m: m[step], mods)

@@ -173,6 +173,44 @@ def _bwd_kernel_packed(qkv_ref, g_ref, dqkv_ref, *, num_heads: int):
             preferred_element_type=jnp.float32) * scale).astype(dqkv_ref.dtype)
 
 
+def _fwd_kernel_packed_phased(qkv_ref, o_ref, s_scratch, *, num_heads: int):
+    """Phase-separated (software-pipelined) packed self-attention forward.
+
+    The per-head loop interleaves MXU matmul -> VPU softmax -> MXU matmul
+    chains head by head; with [32, 64] half-lane-tile operands each chain is
+    latency-bound and the units ping-pong. Here the schedule is split into
+    three dense phases so same-unit ops issue back-to-back and the static
+    scheduler can overlap across heads:
+
+      1. all H score matmuls, outputs ROW-stacked into f32 scratch
+         ([H*N, M] — row offsets are sublane-aligned, unlike the LANE-offset
+         stacking that sank the grouped variant);
+      2. ONE softmax over the whole stack (rows are independent; 16x fewer,
+         16x taller VPU ops);
+      3. all H weight @ v matmuls from scratch rows.
+
+    Enabled with LDT_ATTN_PHASED=1 (bench-gated; see docs/sampler_profile.md).
+    """
+    _, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(n, d3)
+    scale = dh ** -0.5
+    for i in range(h):
+        q = x[:, i * dh:(i + 1) * dh]
+        k = x[:, d + i * dh:d + (i + 1) * dh]
+        s_scratch[i * n:(i + 1) * n, :] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+    w = _softmax_rows(s_scratch[...]).astype(x.dtype)   # [H*N, M] in one go
+    for i in range(h):
+        v = x[:, 2 * d + i * dh:2 * d + (i + 1) * dh]
+        o_ref[0, :, i * dh:(i + 1) * dh] = jnp.dot(
+            w[i * n:(i + 1) * n, :], v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _fwd_kernel_grouped(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, os_, *,
                         num_heads: int, group: int):
     """Grouped-heads forward for SELF-attention shapes (N == M, few tokens).
@@ -235,6 +273,13 @@ def _block(n, d):
 # Kept as an escape hatch for shapes where heads are 128-lane aligned.
 _GROUP_HEADS = int(os.environ.get("LDT_ATTN_GROUP", "0"))
 
+# Phase-separated packed self-attention forward (`_fwd_kernel_packed_phased`)
+# — scores / softmax / AV as three dense phases instead of interleaved
+# per-head chains. DEFAULT ON: measured 474.1 vs 454.0 clouds/min/chip on
+# the 250-step flagship bench (v5e, round 3). LDT_ATTN_PHASED=0 restores
+# the interleaved per-head loop.
+_PHASED = os.environ.get("LDT_ATTN_PHASED", "1") == "1"
+
 
 def _fwd_call(q, k, v, num_heads: int, interpret: bool):
     b, n, d = q.shape
@@ -286,6 +331,18 @@ def _bwd_call(q, k, v, g, num_heads: int, interpret: bool):
 def _fwd_call_packed(qkv, num_heads: int, interpret: bool):
     b, n, d3 = qkv.shape
     d = d3 // 3
+    if _PHASED:
+        kernel = functools.partial(_fwd_kernel_packed_phased,
+                                   num_heads=num_heads)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            grid=(b,),
+            in_specs=[_block(n, d3)],
+            out_specs=_block(n, d),
+            scratch_shapes=[pltpu.VMEM((num_heads * n, n), jnp.float32)],
+            interpret=interpret,
+        )(qkv)
     kernel = functools.partial(_fwd_kernel_packed, num_heads=num_heads)
     return pl.pallas_call(
         kernel,

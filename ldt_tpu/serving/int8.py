@@ -1,0 +1,147 @@
+"""int8 serving path for the latent DiT sampler (W8A8 dynamic).
+
+The flagship sampler is compute-bound on its bf16 GEMMs at >92% MFU
+(docs/sampler_profile.md); the only way past that roofline without changing
+the architecture is a lower-precision MXU path — v5e executes int8 x int8
+matmuls at 2x the bf16 rate. This module provides a quantized twin of the
+sampler's hot path (`Score.denoise_with_mods`, the precomputed-modulation
+fast path used by the 1000-step reverse-diffusion scan):
+
+  * weights: per-output-channel symmetric int8, quantized ONCE per sampling
+    run (outside the scan) from the trained bf16/f32 params;
+  * activations: dynamic per-token symmetric int8 (amax over the feature
+    axis), quantized inline — XLA fuses the quantize chain into the
+    preceding elementwise ops;
+  * accumulation in int32, dequantize = acc * s_act[m] * s_w[n];
+  * the attention core, softmax, LayerNorms, AdaLN modulations, residuals
+    and the tiny in/out projections (120-dim) stay bf16 — they carry <2% of
+    step FLOPs and the softmax/LN numerics matter.
+
+This changes the sampler's numerics, so it ships OFF by default and is
+gated by a golden-eval run (scripts/int8_golden_gate.py): metric deltas
+vs the bf16 sampler must stay within 1% before it is enabled for a config.
+Enable with LDT_SERVE_INT8=1 (bench: LDT_BENCH_INT8=1).
+
+Matches the math of `Score.denoise_with_mods` + `ResidualBlock.__call__`
+(AdaLN path) + `MLP` (gelu) + `FinalLayer` — reference
+model/scorenet/score.py:117-151 and model/layers.py:202-248.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array):
+    """[K, N] float -> (int8 [K, N], f32 scale [N]) per-output-channel."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_i8, scale
+
+
+def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
+                out_dtype=jnp.bfloat16) -> jax.Array:
+    """x [..., K] @ int8 weight with dynamic per-row activation quant."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    x_i8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8, w_i8, (((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * s_x * w_scale).astype(out_dtype)
+
+
+def quantize_score_params(params: Dict[str, Any],
+                          num_blocks: int) -> Dict[str, Any]:
+    """Quantize the big per-block GEMM weights of a (non-UNet) Score net.
+
+    Returns {'blocks': [per-block dict], 'ln_in': ..., 'ln_out': ...} with
+    int8 kernels + f32 scales for qkv (packed), fc_o, mlp up/down; biases
+    and the tiny in/out projections stay float (cast to bf16).
+    """
+    def bf16(x):
+        return jnp.asarray(x, jnp.bfloat16)
+
+    blocks = []
+    for i in range(num_blocks):
+        blk = params[f"transformer_{i}"]
+        attn = blk["attn"]
+        w_qkv = jnp.concatenate(
+            [jnp.asarray(attn["fc_q"]["kernel"], jnp.float32),
+             jnp.asarray(attn["fc_kv"]["kernel"], jnp.float32)], axis=1)
+        b_qkv = jnp.concatenate(
+            [jnp.asarray(attn["fc_q"]["bias"]),
+             jnp.asarray(attn["fc_kv"]["bias"])])
+        qkv_i8, qkv_s = quantize_weight(w_qkv)
+        o_i8, o_s = quantize_weight(attn["fc_o"]["kernel"])
+        up_i8, up_s = quantize_weight(blk["mlp"]["Dense_0"]["kernel"])
+        dn_i8, dn_s = quantize_weight(blk["mlp"]["Dense_1"]["kernel"])
+        blocks.append({
+            "qkv_w": qkv_i8, "qkv_s": qkv_s, "qkv_b": bf16(b_qkv),
+            "o_w": o_i8, "o_s": o_s, "o_b": bf16(attn["fc_o"]["bias"]),
+            "up_w": up_i8, "up_s": up_s,
+            "up_b": bf16(blk["mlp"]["Dense_0"]["bias"]),
+            "dn_w": dn_i8, "dn_s": dn_s,
+            "dn_b": bf16(blk["mlp"]["Dense_1"]["bias"]),
+        })
+    return {
+        "blocks": blocks,
+        "ln_in_w": bf16(params["ln_in"]["kernel"]),
+        "ln_in_b": bf16(params["ln_in"]["bias"]),
+        "ln_out_w": bf16(params["ln_out"]["ln"]["kernel"]),
+        "ln_out_b": bf16(params["ln_out"]["ln"]["bias"]),
+    }
+
+
+def _ln(x: jax.Array) -> jax.Array:
+    """Non-affine LayerNorm, epsilon matching nn.LayerNorm(1e-6)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _modulate(x, shift, scale):
+    return x * (1 + scale) + shift
+
+
+def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
+                           q: Dict[str, Any], num_heads: int,
+                           interpret: bool = False) -> jax.Array:
+    """int8 twin of `Score.denoise_with_mods` for ONE denoise step.
+
+    x: [B, z_scale, z_dim]; mods = {'blocks': [num_blocks, 6*hidden],
+    'final': [2*hidden]} (this step's slice of `precompute_mods`); q from
+    `quantize_score_params`.
+    """
+    from ldt_tpu.ops.pallas_attention import fused_attention_packed
+
+    h = (x.astype(jnp.bfloat16) @ q["ln_in_w"]) + q["ln_in_b"]
+    for i, blk in enumerate(q["blocks"]):
+        m = mods["blocks"][i]
+        while m.ndim < 3:
+            m = m[None]
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
+        q_in = _modulate(_ln(h), shift_msa, scale_msa)
+        qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
+        att = fused_attention_packed(qkv, num_heads, interpret)
+        att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
+        h = h + gate_msa * att
+        m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
+        up = jax.nn.gelu(
+            int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
+        dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
+        h = h + gate_mlp * dn
+    mf = mods["final"]
+    while mf.ndim < 3:
+        mf = mf[None]
+    shift, scale = jnp.split(mf, 2, axis=-1)
+    out = _modulate(_ln(h), shift, scale)
+    return out @ q["ln_out_w"] + q["ln_out_b"]

@@ -218,14 +218,38 @@ class Trainer(BaseTrainer):
                                         sde_cfg.sample_N)
                 mods = model.apply({"params": params}, schedule,
                                    method=Score.precompute_mods)
+                serve_int8 = os.environ.get("LDT_SERVE_INT8", "0") == "1"
+                if serve_int8:
+                    # W8A8 serving path (ldt_tpu/serving/int8.py) — changes
+                    # sampler numerics; enable only after the golden-eval
+                    # gate (scripts/int8_golden_gate.py) passes for the
+                    # config. Weights quantized once per sampling run,
+                    # outside the scan.
+                    from ldt_tpu.serving.int8 import (
+                        denoise_with_mods_int8,
+                        quantize_score_params,
+                    )
 
-                def score_fn(t, x, step):
-                    step_mods = jax.tree_util.tree_map(
-                        lambda m: m[step], mods)
-                    p = sample_model.apply({"params": params}, x, step_mods,
-                                           method=Score.denoise_with_mods)
-                    std = sde.std(t)[:, None, None]
-                    return -p / std, p
+                    qparams = quantize_score_params(params,
+                                                    cfg.score.num_blocks)
+
+                    def score_fn(t, x, step):
+                        step_mods = jax.tree_util.tree_map(
+                            lambda m: m[step], mods)
+                        p = denoise_with_mods_int8(
+                            x, step_mods, qparams, cfg.score.num_heads,
+                            interpret=jax.default_backend() != "tpu")
+                        std = sde.std(t)[:, None, None]
+                        return -p.astype(jnp.float32) / std, p
+                else:
+                    def score_fn(t, x, step):
+                        step_mods = jax.tree_util.tree_map(
+                            lambda m: m[step], mods)
+                        p = sample_model.apply(
+                            {"params": params}, x, step_mods,
+                            method=Score.denoise_with_mods)
+                        std = sde.std(t)[:, None, None]
+                        return -p / std, p
             else:
                 def score_fn(t, x, step=None):
                     p = sample_model.apply({"params": params}, x, t, label,

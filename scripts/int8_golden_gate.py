@@ -1,0 +1,120 @@
+"""Golden-eval gate for the int8 serving path (ldt_tpu/serving/int8.py).
+
+Samples the SAME noise through the bf16 sampler and the W8A8 int8 sampler
+from a trained stage-2 checkpoint, scores both against the test references
+with the CD metric family, and reports per-metric deltas. The int8 path is
+cleared for a config when every gated metric agrees within 1% (the
+BASELINE.md statistical-parity criterion applied to quantization).
+
+Usage (TPU):
+  env JAX_PLATFORMS="" python scripts/int8_golden_gate.py \
+      --exp experiments/Latent_Diffusion_Trainer/airplane_synth_stability \
+      [--epoch 700] [--num 256] [--steps 1000]
+
+Writes docs-ready results to stdout; exit code 0 = gate passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", required=True, help="experiment dir with "
+                    "config.yaml + checkpt_{N}.msgpack")
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--num", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override sde.sample_N")
+    ap.add_argument("--threshold", type=float, default=0.01)
+    args = ap.parse_args()
+
+    import yaml
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldt_tpu.data import get_data_loaders
+    from ldt_tpu.eval import compute_CD_metrics
+    from ldt_tpu.models import Compressor, Score
+    from ldt_tpu.tools.io import dict2namespace
+    from ldt_tpu.training.checkpoint import (
+        checkpoint_path,
+        latest_epoch_from_csv,
+        load_checkpoint,
+    )
+    from ldt_tpu.training.latent_sde_trainer import Trainer
+
+    with open(os.path.join(args.exp, "config.yaml")) as f:
+        cfg = dict2namespace(yaml.safe_load(f))
+    cfg.log.save_path = args.exp
+    if args.steps:
+        cfg.sde.sample_N = args.steps
+
+    epoch = args.epoch or latest_epoch_from_csv(args.exp)
+    assert epoch is not None, "no training.csv / --epoch"
+    ckpt_path = checkpoint_path(args.exp, epoch)
+    print(f"[gate] checkpoint: {ckpt_path}")
+
+    trainer = Trainer(cfg, Score(cfg.score), Compressor(cfg.compressor),
+                      rng=jax.random.key(0))
+    loaders = get_data_loaders(cfg.data, dict2namespace(
+        dict(eval_split="val")))
+    trainer.maybe_init(next(iter(loaders["train_loader"])))
+    trainer.resume(epoch=epoch, strict=False)
+
+    refs = []
+    for b in loaders["test_loader"]:
+        refs.append(np.asarray(b["te_points"]))
+    ref = np.concatenate(refs)[: args.num]
+    num = ref.shape[0]
+    print(f"[gate] sampling {num} clouds x {cfg.sde.sample_N} steps, "
+          f"bf16 vs int8 (same rng)")
+
+    results = {}
+    for mode in ("bf16", "int8"):
+        os.environ["LDT_SERVE_INT8"] = "1" if mode == "int8" else "0"
+        # rebuild the jitted sampler so the env flag is re-read at trace time
+        trainer._build_steps()
+        trainer.rng = jax.random.key(1234)
+        out = []
+        bs = cfg.data.test_batch_size
+        for i in range(0, num, bs):
+            n = min(bs, num - i)
+            smp, _ = trainer.sample(num_samples=n)
+            out.append(np.asarray(smp))
+        smp = np.concatenate(out)
+        res = compute_CD_metrics(smp, ref, batch_size=64)
+        results[mode] = {k: float(v) for k, v in res.items()}
+        print(f"[gate] {mode}: {json.dumps(results[mode])}")
+
+    gated = [k for k in results["bf16"]
+             if "mmd" in k or "acc" in k.lower() or "cov" in k.lower()]
+    failed = []
+    print(f"{'metric':<24}{'bf16':>14}{'int8':>14}{'rel delta':>12}")
+    for k in gated:
+        a, b = results["bf16"][k], results["int8"][k]
+        denom = max(abs(a), 1e-12)
+        rel = abs(b - a) / denom
+        flag = "" if rel <= args.threshold else "  <-- FAIL"
+        print(f"{k:<24}{a:>14.6f}{b:>14.6f}{rel:>11.4%}{flag}")
+        if rel > args.threshold:
+            failed.append(k)
+    if failed:
+        print(f"[gate] FAILED: {failed}")
+        return 1
+    print(f"[gate] PASSED: all {len(gated)} metrics within "
+          f"{args.threshold:.1%}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

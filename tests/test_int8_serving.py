@@ -1,0 +1,102 @@
+"""int8 serving path (ldt_tpu/serving/int8.py): quantization correctness
+and the quantized denoise step vs the bf16 `denoise_with_mods` twin."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldt_tpu.serving.int8 import (
+    denoise_with_mods_int8,
+    int8_matmul,
+    quantize_score_params,
+    quantize_weight,
+)
+from ldt_tpu.tools.io import dict2namespace
+
+
+class TestQuantPrimitives:
+    def test_weight_roundtrip_error_bound(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(64, 96).astype(np.float32)
+        w_i8, s = quantize_weight(jnp.asarray(w))
+        deq = np.asarray(w_i8, np.float32) * np.asarray(s)
+        # symmetric per-channel: error <= half a quantization step
+        step = np.asarray(s)
+        assert np.all(np.abs(deq - w) <= step * 0.5 + 1e-7)
+
+    def test_int8_matmul_close_to_float(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(8, 64).astype(np.float32)
+        w = rng.randn(64, 32).astype(np.float32)
+        w_i8, s = quantize_weight(jnp.asarray(w))
+        got = np.asarray(int8_matmul(jnp.asarray(x), w_i8, s,
+                                     out_dtype=jnp.float32))
+        want = x @ w
+        # W8A8 relative error on gaussian data is well under 1.5%
+        denom = np.abs(want).mean()
+        assert np.abs(got - want).mean() / denom < 0.015
+
+    def test_int8_matmul_scale_invariance(self):
+        """Per-row activation scales: scaling one row must not affect the
+        quantization of others."""
+        rng = np.random.RandomState(2)
+        x = rng.randn(4, 32).astype(np.float32)
+        w = rng.randn(32, 16).astype(np.float32)
+        w_i8, s = quantize_weight(jnp.asarray(w))
+        base = np.asarray(int8_matmul(jnp.asarray(x), w_i8, s,
+                                      out_dtype=jnp.float32))
+        x2 = x.copy()
+        x2[0] *= 1000.0
+        out2 = np.asarray(int8_matmul(jnp.asarray(x2), w_i8, s,
+                                      out_dtype=jnp.float32))
+        np.testing.assert_allclose(out2[1:], base[1:], rtol=1e-6)
+        np.testing.assert_allclose(out2[0], base[0] * 1000.0, rtol=0.02,
+                                   atol=1e-3)
+
+
+class TestDenoiseInt8:
+    def _score(self):
+        from ldt_tpu.models import Score
+
+        cfg = dict2namespace(dict(
+            num_steps=8, z_dim=16, z_scale=8, hidden_size=64, num_heads=4,
+            num_blocks=3, num_categorys=1, t_dim=32, dropout=0.0,
+            norm="layer_norm", learn_sigma=False, act="swish", unet=False,
+            AdaLN=True, condition=False))
+        model = Score(cfg)
+        z = jnp.zeros((2, 8, 16))
+        variables = jax.jit(model.init)(jax.random.key(0), z, jnp.ones((2,)))
+        return cfg, model, variables["params"]
+
+    def test_matches_bf16_fast_path(self):
+        from ldt_tpu.models.score import Score as ScoreCls
+
+        cfg, model, params = self._score()
+        schedule = jnp.linspace(1.0, 1e-6, 4)
+        mods = model.apply({"params": params}, schedule,
+                           method=ScoreCls.precompute_mods)
+        step_mods = jax.tree_util.tree_map(lambda m: m[1], mods)
+        x = jax.random.normal(jax.random.key(3), (2, 8, 16))
+        want = np.asarray(model.apply({"params": params}, x, step_mods,
+                                      method=ScoreCls.denoise_with_mods),
+                          np.float32)
+        q = quantize_score_params(params, cfg.num_blocks)
+        got = np.asarray(denoise_with_mods_int8(
+            x, step_mods, q, cfg.num_heads, interpret=True), np.float32)
+        # int8 GEMMs + bf16 carry: agreement to a few percent relative to
+        # the output scale (the golden-eval gate judges METRIC deltas, this
+        # test pins the math/wiring)
+        denom = np.abs(want).mean()
+        assert np.abs(got - want).mean() / denom < 0.05, (
+            np.abs(got - want).mean(), denom)
+
+    def test_quantized_tree_shapes(self):
+        cfg, model, params = self._score()
+        q = quantize_score_params(params, cfg.num_blocks)
+        assert len(q["blocks"]) == cfg.num_blocks
+        blk = q["blocks"][0]
+        assert blk["qkv_w"].dtype == jnp.int8
+        assert blk["qkv_w"].shape == (64, 3 * 64)
+        assert blk["qkv_s"].shape == (3 * 64,)
+        assert blk["up_w"].shape == (64, 256)
+        assert blk["dn_w"].shape == (256, 64)

@@ -88,6 +88,29 @@ def test_grouped_heads_variant_matches_reference(group, monkeypatch):
                                    rtol=5e-4, atol=1e-4)
 
 
+def test_phased_packed_variant_matches_reference(monkeypatch):
+    """The phase-separated packed forward (`_fwd_kernel_packed_phased`,
+    LDT_ATTN_PHASED) is numerically identical to the oracle."""
+    import ldt_tpu.ops.pallas_attention as pa
+
+    b, n, h, dh = 2, 32, 16, 16
+    d = h * dh
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    want = reference_attention_core(q, k, v, h)
+    monkeypatch.setattr(pa, "_PHASED", True)
+    got = pa._fwd_call_packed(qkv, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    monkeypatch.setattr(pa, "_PHASED", False)
+    base = pa._fwd_call_packed(qkv, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("b,n,m,d,h", [(2, 32, 32, 128, 4),
                                        (2, 64, 8, 64, 2),
                                        (1, 128, 16, 256, 8)])
