@@ -60,10 +60,13 @@ def main():
     from ldt_tpu.models.score import Score as ScoreCls
 
     use_mods = os.environ.get("LDT_BENCH_MODS", "1") == "1"
-    # int8 serving path (W8A8 dynamic, ldt_tpu/serving/int8.py). Changes
-    # sampler numerics — gated by scripts/int8_golden_gate.py; OFF by
-    # default so the headline number stays the bf16-exact path.
-    use_int8 = os.environ.get("LDT_BENCH_INT8", "0") == "1"
+    # int8 serving path (W8A8 dynamic, ldt_tpu/serving/int8.py). DEFAULT ON
+    # for the headline number: scripts/int8_golden_gate.py PASSED on the
+    # 700-epoch flagship checkpoint (same-noise bf16 vs int8, 1000 steps:
+    # mmd-CD delta 0.36%, cov-CD 0.00%, mmd_smp-CD 0.05%, 1-NNA 0.00% —
+    # all within the 1% BASELINE.md criterion; docs/sampler_profile.md).
+    # LDT_BENCH_INT8=0 restores the bf16-exact path (~474 clouds/min).
+    use_int8 = os.environ.get("LDT_BENCH_INT8", "1") == "1" and use_mods
 
     def make_score_fn(params):
         if use_mods:

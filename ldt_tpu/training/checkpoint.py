@@ -320,7 +320,21 @@ def restore_into(template, loaded, strict: bool = True):
 
     def recast(t, r):
         if hasattr(t, "dtype") and hasattr(r, "dtype") and t.dtype != r.dtype:
-            return np.asarray(r).astype(t.dtype)
+            r = np.asarray(r).astype(t.dtype)
+        if (hasattr(t, "shape") and hasattr(r, "shape")
+                and tuple(t.shape) != tuple(r.shape)):
+            # shape drift across framework versions: broadcast when exact
+            # (e.g. pre-round-3 ActNorm checkpoints stored pooled [1, 1, F]
+            # shift/log_scale where the model now has per-token
+            # [1, z_scales, F] — broadcasting preserves the math bit-for-
+            # bit); anything non-broadcastable fails loudly.
+            try:
+                r = np.broadcast_to(np.asarray(r), t.shape).copy()
+            except ValueError:
+                raise ValueError(
+                    f"checkpoint leaf shape {tuple(r.shape)} is neither "
+                    f"equal nor broadcastable to the model's "
+                    f"{tuple(t.shape)}")
         return r
 
     return jax.tree_util.tree_map(recast, template, restored)

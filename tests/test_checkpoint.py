@@ -216,3 +216,25 @@ class TestShardedFormat:
         m1 = jax.tree_util.tree_leaves(tr.state.opt_state)[0]
         m2 = jax.tree_util.tree_leaves(t2.state.opt_state)[0]
         assert np.asarray(m2).dtype == np.asarray(m1).dtype
+
+
+class TestShapeDriftRestore:
+    def test_broadcastable_leaf_broadcasts(self):
+        """Pre-round-3 ActNorm checkpoints stored pooled [1,1,F] stats; the
+        model now has per-token [1,z,F] — restore broadcasts (bit-exact
+        semantics), anything non-broadcastable raises."""
+        import jax.numpy as jnp
+        import pytest
+
+        from ldt_tpu.training.checkpoint import restore_into
+
+        template = {"p": {"shift": jnp.zeros((1, 4, 8))}}
+        loaded = {"p": {"shift": np.arange(8, dtype=np.float32
+                                           ).reshape(1, 1, 8)}}
+        out = restore_into(template, loaded)
+        assert np.asarray(out["p"]["shift"]).shape == (1, 4, 8)
+        np.testing.assert_array_equal(np.asarray(out["p"]["shift"])[0, 2],
+                                      np.arange(8, dtype=np.float32))
+        bad = {"p": {"shift": np.zeros((1, 3, 8), np.float32)}}
+        with pytest.raises(ValueError, match="broadcastable"):
+            restore_into(template, bad)

@@ -64,7 +64,11 @@ def main(args, cfg):
                 condition = {"img": np.asarray(data["views"]),
                              "pts": pc_part}
                 epoch_losses.append(trainer.update(pc, condition))
-            for loss in epoch_losses:
+            import jax
+            import jax.numpy as jnp
+
+            # one stacked device->host transfer, not one per step value
+            for loss in jax.device_get(jnp.asarray(epoch_losses)):
                 loss_meter.update(loss)
             trainer.epoch_end()
             if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:

@@ -45,7 +45,15 @@ def main(args, cfg):
             epoch_vals = []
             for data in tbar:
                 epoch_vals.append(trainer.update(data))
-            for loss_score, kl, rec in epoch_vals:
+            # ONE device->host transfer for the whole epoch's meter
+            # values: stack on device ([steps, 3], one dispatch), then one
+            # pull — device_get on the raw list moves each scalar leaf
+            # separately, a round-trip per value on the tunnel transport
+            import jax
+            import jax.numpy as jnp
+
+            for loss_score, kl, rec in jax.device_get(
+                    jnp.asarray(epoch_vals)):
                 meters["loss_score"].update(loss_score)
                 meters["kl"].update(kl)
                 meters["rec"].update(rec)

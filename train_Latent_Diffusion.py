@@ -46,7 +46,11 @@ def main(args, cfg):
             epoch_losses = []
             for data in tbar:
                 epoch_losses.append(trainer.update(data))
-            for loss in epoch_losses:
+            import jax
+            import jax.numpy as jnp
+
+            # one stacked device->host transfer, not one per step value
+            for loss in jax.device_get(jnp.asarray(epoch_losses)):
                 loss_meter.update(loss)
             trainer.epoch_end()
             if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:
