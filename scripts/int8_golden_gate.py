@@ -61,6 +61,18 @@ def main():
 
     epoch = args.epoch or latest_epoch_from_csv(args.exp)
     assert epoch is not None, "no training.csv / --epoch"
+    if not os.path.exists(checkpoint_path(args.exp, epoch)):
+        # training.csv may run past the last saved checkpoint
+        # (save_epoch_freq > 1): fall back to the newest on-disk epoch
+        import glob as _glob
+        import re as _re
+
+        found = sorted(
+            int(m.group(1)) for f in _glob.glob(
+                os.path.join(args.exp, "checkpt_*.msgpack"))
+            if (m := _re.search(r"checkpt_(\d+)\.msgpack$", f)))
+        assert found, f"no checkpoints under {args.exp}"
+        epoch = found[-1]
     ckpt_path = checkpoint_path(args.exp, epoch)
     print(f"[gate] checkpoint: {ckpt_path}")
 

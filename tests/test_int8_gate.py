@@ -1,0 +1,111 @@
+"""CPU smoke for scripts/int8_golden_gate.py: the gate runs end-to-end on
+a tiny experiment dir (config + saved checkpoint + data tree) and emits a
+verdict. (The real run is on TPU against the trained flagship — this pins
+the script's wiring: checkpoint resolution, env toggling, metric deltas.)"""
+
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from ldt_tpu.tools.io import dict2namespace
+
+N_PTS = 64
+
+
+@pytest.fixture()
+def exp_dir(tmp_path):
+    root = tmp_path
+    data_dir = root / "PC15k"
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        d = data_dir / "02691156" / split
+        d.mkdir(parents=True)
+        for i in range(3):
+            np.save(d / f"m{i}.npy", rng.randn(15000, 3).astype(np.float32))
+
+    model = dict(
+        outsize=N_PTS, max_outputs=N_PTS, input_dim=3, z_dim=4, z_scales=8,
+        p_dim=16, n_layers=2, hidden_dim=32, num_heads=2, activation="swish",
+        encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+        neighbors=8, encoder_layers=1, mlp_ratio=2.0, min_sigma=-30,
+        cluster_norm="anchor", norm_input=False, pre_group=False,
+        decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+        class_condition=False, num_categorys=1, pretrain_path=None)
+    exp = root / "exp"
+    exp.mkdir()
+    cfg = dict(
+        data=dict(cates=["airplane"], num_categorys=1,
+                  tr_max_sample_points=N_PTS, te_max_sample_points=N_PTS,
+                  data_dir=str(data_dir), batch_size=2, test_batch_size=2,
+                  boundary=True, num_workers=0),
+        opt=dict(adj_lr="warm_up", warmup_iters=2, lr=1e-3, beta1=0.9,
+                 beta2=0.999, ema_decay=0.99, weight_decay=0.0,
+                 grad_norm_clip_value=1.0, kl_weight=1e-6, loss_type="l2",
+                 discrete=True),
+        log=dict(save_epoch_freq=1, save_path=str(exp), log_epoch_freq=1,
+                 eval_epoch_freq=1000,
+                 traincolumns=["epoch", "itr", "loss", "time"],
+                 trainformat=[None, None, "{:.4f}", "{:.0f}"],
+                 evalcolumns=["epoch", "mmd-CD"],
+                 evalformat=[None, "{:.8f}"]),
+        common=dict(epochs=2, num_points=N_PTS, seed=0),
+        model=model, compressor=model,
+        score=dict(num_steps=8, z_dim=8, z_scale=8, hidden_size=32,
+                   num_heads=4, num_blocks=2, num_categorys=1, t_dim=16,
+                   dropout=0.0, norm="layer_norm", learn_sigma=False,
+                   act="swish", unet=False, AdaLN=True, condition=False),
+        sde=dict(beta_start=0.1, beta_end=20.0, sde_type="vpsde",
+                 sigma2_0=0.0, iw_sample_p_mode="drop_all_iw",
+                 iw_sample_q_mode="drop_all_iw", time_eps=0.01, ode_tol=1e-4,
+                 sample_time_eps=1e-6, sample_mode="discrete",
+                 predictor="ancestral", corrector=None, train_N=8,
+                 sample_N=32, snr=0.01, corrector_steps=1, denoise=True,
+                 probability_flow=False, alpha=1.0),
+    )
+    with open(exp / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    # one trained-ish checkpoint + a training.csv whose last epoch (7) has
+    # NO checkpoint file — exercises the fall-back-to-newest-on-disk path
+    from ldt_tpu.data import get_data_loaders
+    from ldt_tpu.models import Compressor, Score
+    from ldt_tpu.training.latent_sde_trainer import Trainer
+
+    ns = dict2namespace(cfg)
+    ns.log.save_path = str(exp)
+    tr = Trainer(ns, Score(ns.score), Compressor(ns.compressor))
+    loaders = get_data_loaders(ns.data, dict2namespace(
+        dict(eval_split="val")))
+    tr.maybe_init(next(iter(loaders["train_loader"])))
+    tr.epoch = 5
+    tr.save()
+    from ldt_tpu.training.checkpoint import wait_pending_saves
+
+    wait_pending_saves()
+    with open(exp / "training.csv", "w") as f:
+        f.write("epoch,itr,loss,time\n5,10,1.0,3\n7,14,0.9,5\n")
+    return exp
+
+
+def test_gate_runs_and_reports(exp_dir, monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    # the gate mutates LDT_SERVE_INT8; register it with monkeypatch so the
+    # mutation is undone at teardown (must not leak into other tests)
+    monkeypatch.setenv("LDT_SERVE_INT8", "0")
+    import scripts.int8_golden_gate as gate
+
+    monkeypatch.setattr(sys, "argv",
+                        ["gate", "--exp", str(exp_dir), "--num", "4",
+                         "--steps", "8", "--threshold", "1.0"])
+    rc = gate.main()
+    out = capsys.readouterr().out
+    # resolved the newest ON-DISK checkpoint (5), not the CSV's 7
+    assert "checkpt_5.msgpack" in out
+    assert "bf16" in out and "int8" in out
+    assert rc in (0, 1)  # random-init numerics may exceed tight thresholds
+    assert ("PASSED" in out) or ("FAILED" in out)
+    assert os.environ.get("LDT_SERVE_INT8") is not None
