@@ -59,7 +59,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             lib.ldt_load_npy_batch.restype = ctypes.c_int
             lib.ldt_load_npy_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ]
         except OSError:
@@ -89,7 +90,6 @@ def load_npy_batch(paths: Sequence[str], shape: Tuple[int, ...],
     dataset should fail loudly, not silently shrink.
     """
     n = len(paths)
-    elems = int(np.prod(shape))
     out = np.empty((n,) + tuple(shape), np.float32)
     ok = np.ones((n,), bool)
     if n == 0:
@@ -100,8 +100,14 @@ def load_npy_batch(paths: Sequence[str], shape: Tuple[int, ...],
     if lib is not None:
         c_paths = (ctypes.c_char_p * n)(
             *[p.encode() for p in paths])
+        # full shape tuple, validated dim-by-dim in the native parser (an
+        # element-count check alone would load transposed/flattened files
+        # of coincidentally equal size as silently scrambled data)
+        c_shape = np.asarray(shape, np.int64)
         lib.ldt_load_npy_batch(
-            c_paths, n, elems,
+            c_paths, n,
+            c_shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(shape),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             int(n_threads))

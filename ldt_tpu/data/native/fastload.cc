@@ -37,9 +37,12 @@ enum Status : int32_t {
 };
 
 // Parse the NPY header; return payload offset, or -1 on malformed input.
-// Validates dtype '<f4', C order, and that the element count matches
-// `expected_elems`.
-long ParseNpyHeader(FILE* f, int64_t expected_elems, int32_t* status) {
+// Validates dtype '<f4', C order, and that the shape tuple matches
+// `expected_shape` DIMENSION BY DIMENSION — an element-count-only check
+// would silently accept transposed/flattened files of coincidentally equal
+// size (e.g. (3,15000) vs (15000,3)) and load scrambled data.
+long ParseNpyHeader(FILE* f, const int64_t* expected_shape,
+                    int32_t expected_ndim, int32_t* status) {
   unsigned char magic[8];
   if (fread(magic, 1, 8, f) != 8 || memcmp(magic, "\x93NUMPY", 6) != 0) {
     *status = kBadMagic;
@@ -65,15 +68,15 @@ long ParseNpyHeader(FILE* f, int64_t expected_elems, int32_t* status) {
     *status = kWrongPayload;
     return -1;
   }
-  // element count from the shape tuple
+  // shape tuple, compared dim by dim against the expected shape
   size_t p = header.find("'shape': (");
   if (p == std::string::npos) {
     *status = kBadHeader;
     return -1;
   }
   p += 10;
-  int64_t elems = 1;
-  bool any = false;
+  int32_t ndim = 0;
+  bool ok = true;
   while (p < header.size() && header[p] != ')') {
     if (header[p] >= '0' && header[p] <= '9') {
       int64_t v = 0;
@@ -81,26 +84,28 @@ long ParseNpyHeader(FILE* f, int64_t expected_elems, int32_t* status) {
         v = v * 10 + (header[p] - '0');
         ++p;
       }
-      elems *= v;
-      any = true;
+      if (ndim >= expected_ndim || v != expected_shape[ndim]) ok = false;
+      ++ndim;
     } else {
       ++p;
     }
   }
-  if (!any || elems != expected_elems) {
+  if (!ok || ndim != expected_ndim) {
     *status = kWrongPayload;
     return -1;
   }
   return static_cast<long>(8 + len_bytes + header_len);
 }
 
-void LoadOne(const char* path, float* dst, int64_t elems, int32_t* status) {
+void LoadOne(const char* path, float* dst, int64_t elems,
+             const int64_t* expected_shape, int32_t expected_ndim,
+             int32_t* status) {
   FILE* f = fopen(path, "rb");
   if (f == nullptr) {
     *status = kOpenFailed;
     return;
   }
-  long payload = ParseNpyHeader(f, elems, status);
+  long payload = ParseNpyHeader(f, expected_shape, expected_ndim, status);
   if (payload < 0) {
     fclose(f);
     return;
@@ -120,12 +125,14 @@ void LoadOne(const char* path, float* dst, int64_t elems, int32_t* status) {
 
 extern "C" {
 
-// Load `n_files` .npy files (each exactly `elems_per_file` '<f4' elements,
-// C order) into `out` (preallocated, n_files * elems_per_file floats).
+// Load `n_files` .npy files (each exactly shape[0] x ... x shape[ndim-1]
+// '<f4', C order) into `out` (preallocated, n_files * prod(shape) floats).
 // `statuses[i]` receives a Status per file. Returns the number of failures.
 int ldt_load_npy_batch(const char** paths, int64_t n_files,
-                       int64_t elems_per_file, float* out,
+                       const int64_t* shape, int32_t ndim, float* out,
                        int32_t* statuses, int32_t n_threads) {
+  int64_t elems_per_file = 1;
+  for (int32_t d = 0; d < ndim; ++d) elems_per_file *= shape[d];
   if (n_threads <= 0) {
     n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 4;
@@ -140,7 +147,7 @@ int ldt_load_npy_batch(const char** paths, int64_t n_files,
         const int64_t i = next.fetch_add(1);
         if (i >= n_files) break;
         LoadOne(paths[i], out + i * elems_per_file, elems_per_file,
-                &statuses[i]);
+                shape, ndim, &statuses[i]);
       }
     });
   }

@@ -17,10 +17,13 @@ fast path used by the 1000-step reverse-diffusion scan):
     and the tiny in/out projections (120-dim) stay bf16 — they carry <2% of
     step FLOPs and the softmax/LN numerics matter.
 
-This changes the sampler's numerics, so it ships OFF by default and is
-gated by a golden-eval run (scripts/int8_golden_gate.py): metric deltas
-vs the bf16 sampler must stay within 1% before it is enabled for a config.
-Enable with LDT_SERVE_INT8=1 (bench: LDT_BENCH_INT8=1).
+This changes the sampler's numerics, so it is gated by a golden-eval run
+(scripts/int8_golden_gate.py): metric deltas vs the bf16 sampler must stay
+within 1% before it is enabled for a config. The TRAINER's valsample path
+ships OFF by default (enable with LDT_SERVE_INT8=1 after gating your
+checkpoint); bench.py defaults it ON for the headline throughput number
+because the gate PASSED on the flagship architecture (<=0.36% CD deltas,
+docs/sampler_profile.md) — LDT_BENCH_INT8=0 gives the bf16-exact rate.
 
 Matches the math of `Score.denoise_with_mods` + `ResidualBlock.__call__`
 (AdaLN path) + `MLP` (gelu) + `FinalLayer` — reference
@@ -33,6 +36,8 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+
+from ldt_tpu.nn.layers import modulate as _modulate
 
 
 def quantize_weight(w: jax.Array):
@@ -114,10 +119,6 @@ def _ln(x: jax.Array) -> jax.Array:
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
-
-
-def _modulate(x, shift, scale):
-    return x * (1 + scale) + shift
 
 
 def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],

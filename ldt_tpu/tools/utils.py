@@ -49,6 +49,27 @@ def trace_df_dx_hutchinson(f, x, noise):
     return jnp.sum(prod, axis=-1)
 
 
+def sync_epoch_values(values):
+    """One device->host transfer for an epoch's worth of per-step scalars.
+
+    `values`: list of device scalars (or tuples of them) accumulated over an
+    epoch by a pipelined training loop. Stacks them on device (ONE dispatch)
+    and pulls the stack in ONE transfer — `jax.device_get` on the raw list
+    moves each leaf separately, a round-trip per value on remote transports
+    (~40-120 ms/call on the tunnel), and a per-step `float()` would serialize
+    the async dispatch queue entirely (the 9.4x stage-2 regression).
+    Returns a numpy array: [steps] or [steps, k].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not values:
+        import numpy as _np
+
+        return _np.zeros((0,), _np.float32)
+    return jax.device_get(jnp.asarray(values))
+
+
 class AverageMeter:
     """Running average (tools/utils.py:279-295)."""
 

@@ -318,26 +318,32 @@ def restore_into(template, loaded, strict: bool = True):
                                    loaded)
     restored = serialization.from_state_dict(template, loaded)
 
-    def recast(t, r):
+    # Leaves allowed to broadcast across a shape drift. ONLY the ActNorm
+    # statistics: pre-round-3 checkpoints stored pooled [1, 1, F]
+    # shift/log_scale where the model now has per-token [1, z_scales, F]
+    # (PARITY.md quirk #5) — broadcasting preserves the math bit-for-bit.
+    # Everything else must match exactly: a silently tiled weight from a
+    # wrong-config checkpoint would train from wrong values.
+    _BROADCAST_OK = ("shift", "log_scale")
+
+    def recast(path, t, r):
         if hasattr(t, "dtype") and hasattr(r, "dtype") and t.dtype != r.dtype:
             r = np.asarray(r).astype(t.dtype)
         if (hasattr(t, "shape") and hasattr(r, "shape")
                 and tuple(t.shape) != tuple(r.shape)):
-            # shape drift across framework versions: broadcast when exact
-            # (e.g. pre-round-3 ActNorm checkpoints stored pooled [1, 1, F]
-            # shift/log_scale where the model now has per-token
-            # [1, z_scales, F] — broadcasting preserves the math bit-for-
-            # bit); anything non-broadcastable fails loudly.
-            try:
-                r = np.broadcast_to(np.asarray(r), t.shape).copy()
-            except ValueError:
-                raise ValueError(
-                    f"checkpoint leaf shape {tuple(r.shape)} is neither "
-                    f"equal nor broadcastable to the model's "
-                    f"{tuple(t.shape)}")
+            leaf = next((p.key for p in reversed(path)
+                         if hasattr(p, "key")), "")
+            if leaf in _BROADCAST_OK:
+                try:
+                    return np.broadcast_to(np.asarray(r), t.shape).copy()
+                except ValueError:
+                    pass
+            raise ValueError(
+                f"checkpoint leaf {leaf!r} has shape {tuple(r.shape)}, "
+                f"model expects {tuple(t.shape)}")
         return r
 
-    return jax.tree_util.tree_map(recast, template, restored)
+    return jax.tree_util.tree_map_with_path(recast, template, restored)
 
 
 def latest_epoch_from_csv(save_path: str) -> Optional[int]:

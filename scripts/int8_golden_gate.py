@@ -59,7 +59,8 @@ def main():
     if args.steps:
         cfg.sde.sample_N = args.steps
 
-    epoch = args.epoch or latest_epoch_from_csv(args.exp)
+    epoch = (args.epoch if args.epoch is not None
+             else latest_epoch_from_csv(args.exp))
     assert epoch is not None, "no training.csv / --epoch"
     if not os.path.exists(checkpoint_path(args.exp, epoch)):
         # training.csv may run past the last saved checkpoint

@@ -235,6 +235,13 @@ class TestShapeDriftRestore:
         assert np.asarray(out["p"]["shift"]).shape == (1, 4, 8)
         np.testing.assert_array_equal(np.asarray(out["p"]["shift"])[0, 2],
                                       np.arange(8, dtype=np.float32))
+        # non-broadcastable ActNorm leaf still fails loudly
         bad = {"p": {"shift": np.zeros((1, 3, 8), np.float32)}}
-        with pytest.raises(ValueError, match="broadcastable"):
+        with pytest.raises(ValueError, match="shape"):
             restore_into(template, bad)
+        # the broadcast is SCOPED to ActNorm stats: a broadcast-compatible
+        # kernel must NOT be silently tiled (wrong-config checkpoint)
+        tmpl_k = {"p": {"kernel": jnp.zeros((4, 8))}}
+        load_k = {"p": {"kernel": np.zeros((1, 8), np.float32)}}
+        with pytest.raises(ValueError, match="kernel"):
+            restore_into(tmpl_k, load_k)

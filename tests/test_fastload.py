@@ -52,6 +52,24 @@ def test_fallback_float64_and_failures(tree):
         .astype(np.float32))
 
 
+def test_same_elems_wrong_shape_rejected(tree):
+    """Transposed / flattened files with a COINCIDENTALLY equal element
+    count must not load scrambled through the native path (it validates the
+    full shape tuple, not just the product)."""
+    import pytest
+
+    paths, want, d = tree
+    transposed = str(d / "t.npy")
+    np.save(transposed, np.zeros((3, 50), np.float32))   # 150 elems
+    flat = str(d / "flat.npy")
+    np.save(flat, np.zeros((150,), np.float32))           # 150 elems
+    got, ok = fastload.load_npy_batch([paths[0], transposed, flat], (50, 3))
+    assert list(ok) == [True, False, False]
+    np.testing.assert_array_equal(got[0], want[0])
+    with pytest.raises(ValueError, match="shape"):
+        fastload.load_npy_batch([transposed], (50, 3), strict_shape=True)
+
+
 def test_strict_shape_raises(tree):
     """Readable-but-wrong-shape files fail loudly under strict_shape (the
     reference hard-asserts 15000 points after a successful load,

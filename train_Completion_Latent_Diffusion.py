@@ -14,7 +14,11 @@ import numpy as np
 from ldt_tpu.cli import get_parser, progress
 from ldt_tpu.data.vipc import get_data_loaders
 from ldt_tpu.models import Compressor, Score
-from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.tools.utils import (
+    AverageMeter,
+    common_init,
+    sync_epoch_values,
+)
 from ldt_tpu.training.completion_latent_sde_trainer import Trainer
 from ldt_tpu.training.completion_compressor_trainer import fps_to
 
@@ -64,11 +68,7 @@ def main(args, cfg):
                 condition = {"img": np.asarray(data["views"]),
                              "pts": pc_part}
                 epoch_losses.append(trainer.update(pc, condition))
-            import jax
-            import jax.numpy as jnp
-
-            # one stacked device->host transfer, not one per step value
-            for loss in jax.device_get(jnp.asarray(epoch_losses)):
+            for loss in sync_epoch_values(epoch_losses):
                 loss_meter.update(loss)
             trainer.epoch_end()
             if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:

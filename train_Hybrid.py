@@ -10,7 +10,11 @@ from __future__ import annotations
 from ldt_tpu.cli import get_config, get_parser, progress
 from ldt_tpu.data import get_data_loaders
 from ldt_tpu.models import Compressor, Score
-from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.tools.utils import (
+    AverageMeter,
+    common_init,
+    sync_epoch_values,
+)
 from ldt_tpu.training.hybrid_trainer import Trainer
 
 
@@ -45,15 +49,7 @@ def main(args, cfg):
             epoch_vals = []
             for data in tbar:
                 epoch_vals.append(trainer.update(data))
-            # ONE device->host transfer for the whole epoch's meter
-            # values: stack on device ([steps, 3], one dispatch), then one
-            # pull — device_get on the raw list moves each scalar leaf
-            # separately, a round-trip per value on the tunnel transport
-            import jax
-            import jax.numpy as jnp
-
-            for loss_score, kl, rec in jax.device_get(
-                    jnp.asarray(epoch_vals)):
+            for loss_score, kl, rec in sync_epoch_values(epoch_vals):
                 meters["loss_score"].update(loss_score)
                 meters["kl"].update(kl)
                 meters["rec"].update(rec)

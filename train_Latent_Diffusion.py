@@ -10,7 +10,11 @@ from __future__ import annotations
 from ldt_tpu.cli import get_config, get_parser, progress
 from ldt_tpu.data import get_data_loaders
 from ldt_tpu.models import Compressor, Score
-from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.tools.utils import (
+    AverageMeter,
+    common_init,
+    sync_epoch_values,
+)
 from ldt_tpu.training.latent_sde_trainer import Trainer
 
 
@@ -46,11 +50,7 @@ def main(args, cfg):
             epoch_losses = []
             for data in tbar:
                 epoch_losses.append(trainer.update(data))
-            import jax
-            import jax.numpy as jnp
-
-            # one stacked device->host transfer, not one per step value
-            for loss in jax.device_get(jnp.asarray(epoch_losses)):
+            for loss in sync_epoch_values(epoch_losses):
                 loss_meter.update(loss)
             trainer.epoch_end()
             if (trainer.epoch - 1) % cfg.log.log_epoch_freq == 0:
