@@ -243,7 +243,11 @@ def knn(mxx: np.ndarray, mxy: np.ndarray, myy: np.ndarray, k: int,
 
 def EMD_CD(sample_pcs, ref_pcs, batch_size: int, reduced: bool = True,
            **_ignored) -> Dict[str, float]:
-    """Paired (same-index) CD/EMD (evaluation_metrics.py:69-107)."""
+    """Paired (same-index) CD/EMD (evaluation_metrics.py:69-107).
+
+    Keys are lowercase 'mmd-CD'/'mmd-EMD' matching the reference's returned
+    dict verbatim (evaluation_metrics.py:103-106).
+    """
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns = sample_pcs.shape[0]

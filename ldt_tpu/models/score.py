@@ -180,6 +180,17 @@ class Score(nn.Module):
         final = self.ln_out.compute_mods(c)
         return {"blocks": blocks, "final": final}
 
+    def embed_times(self, t: jax.Array) -> jax.Array:
+        """TimeEmbedding alone for a vector of times `t` [S] -> [S, t_dim].
+
+        The conditional sampler cannot hoist full AdaLN modulations out of
+        the reverse-diffusion scan (c = t_emb + img_emb is per-sample), but
+        the sinusoidal+MLP time embedding depends on t alone, so it CAN be
+        precomputed for the whole schedule (used by the int8 conditional
+        serving path, ldt_tpu/serving/int8.py::denoise_cond_int8).
+        """
+        return self.time_embedding(t)
+
     def denoise_with_mods(self, x: jax.Array, mods) -> jax.Array:
         """Forward pass with precomputed per-block modulations for one step:
         mods = {'blocks': [num_blocks, 6*hidden], 'final': [2*hidden]}."""

@@ -113,6 +113,90 @@ def quantize_score_params(params: Dict[str, Any],
     }
 
 
+def quantize_cond_score_params(params: Dict[str, Any],
+                               num_blocks: int) -> Dict[str, Any]:
+    """Quantize a CONDITIONAL (non-UNet) Score net for int8 serving.
+
+    Differences from `quantize_score_params` (the unconditional fast path):
+
+      * EVEN blocks cross-attend to the condition tokens
+        (score.py:148-149 / our models/score.py::Score.__call__), so their
+        fc_q (int8, per-step input) and fc_kv (kept bf16 — applied ONCE per
+        sampling run to the static condition tokens, see
+        `precompute_cond_kv`) stay separate; ODD blocks self-attend and get
+        the packed int8 qkv GEMM.
+      * The per-block AdaLN kernels are STACKED into one [t_dim,
+        num_blocks*6*hidden] bf16 GEMM: c = t_emb + img_emb is per-sample,
+        so modulations must be computed inside the scan — one wide matmul
+        per step instead of 24 thin ones. They carry ~1.6% of step FLOPs,
+        so they stay bf16 (no numerics risk for the gates/shifts).
+    """
+    def bf16(x):
+        return jnp.asarray(x, jnp.bfloat16)
+
+    blocks, ada_w, ada_b = [], [], []
+    for i in range(num_blocks):
+        blk = params[f"transformer_{i}"]
+        attn = blk["attn"]
+        entry = {}
+        if i % 2 == 0:  # cross-attention to the condition tokens
+            q_i8, q_s = quantize_weight(attn["fc_q"]["kernel"])
+            entry.update({
+                "q_w": q_i8, "q_s": q_s, "q_b": bf16(attn["fc_q"]["bias"]),
+                "kv_w": bf16(attn["fc_kv"]["kernel"]),
+                "kv_b": bf16(attn["fc_kv"]["bias"]),
+            })
+        else:  # self-attention: packed qkv
+            w_qkv = jnp.concatenate(
+                [jnp.asarray(attn["fc_q"]["kernel"], jnp.float32),
+                 jnp.asarray(attn["fc_kv"]["kernel"], jnp.float32)], axis=1)
+            b_qkv = jnp.concatenate(
+                [jnp.asarray(attn["fc_q"]["bias"]),
+                 jnp.asarray(attn["fc_kv"]["bias"])])
+            qkv_i8, qkv_s = quantize_weight(w_qkv)
+            entry.update({"qkv_w": qkv_i8, "qkv_s": qkv_s,
+                          "qkv_b": bf16(b_qkv)})
+        o_i8, o_s = quantize_weight(attn["fc_o"]["kernel"])
+        up_i8, up_s = quantize_weight(blk["mlp"]["Dense_0"]["kernel"])
+        dn_i8, dn_s = quantize_weight(blk["mlp"]["Dense_1"]["kernel"])
+        entry.update({
+            "o_w": o_i8, "o_s": o_s, "o_b": bf16(attn["fc_o"]["bias"]),
+            "up_w": up_i8, "up_s": up_s,
+            "up_b": bf16(blk["mlp"]["Dense_0"]["bias"]),
+            "dn_w": dn_i8, "dn_s": dn_s,
+            "dn_b": bf16(blk["mlp"]["Dense_1"]["bias"]),
+        })
+        blocks.append(entry)
+        ada_w.append(bf16(blk["adaLN"]["kernel"]))
+        ada_b.append(bf16(blk["adaLN"]["bias"]))
+    return {
+        "blocks": blocks,
+        "ada_w": jnp.concatenate(ada_w, axis=1),
+        "ada_b": jnp.concatenate(ada_b),
+        "fin_w": bf16(params["ln_out"]["adaLN"]["kernel"]),
+        "fin_b": bf16(params["ln_out"]["adaLN"]["bias"]),
+        "ln_in_w": bf16(params["ln_in"]["kernel"]),
+        "ln_in_b": bf16(params["ln_in"]["bias"]),
+        "ln_out_w": bf16(params["ln_out"]["ln"]["kernel"]),
+        "ln_out_b": bf16(params["ln_out"]["ln"]["bias"]),
+    }
+
+
+def precompute_cond_kv(q: Dict[str, Any], y: jax.Array):
+    """KV projections of the STATIC condition tokens, once per sampling run.
+
+    y [B, M, hidden] from `Score.encode_condition` is fixed across all
+    denoise steps (the reference encodes once per run,
+    completion_trainer/Latent_SDE_Trainer.py:150-151), so the even blocks'
+    fc_kv GEMMs leave the scan entirely — full bf16 precision for free.
+    Returns a list over blocks: [B, M, 2*hidden] for cross blocks, None for
+    self-attention blocks.
+    """
+    y = y.astype(jnp.bfloat16)
+    return [(y @ blk["kv_w"]) + blk["kv_b"] if "kv_w" in blk else None
+            for blk in q["blocks"]]
+
+
 def _ln(x: jax.Array) -> jax.Array:
     """Non-affine LayerNorm, epsilon matching nn.LayerNorm(1e-6)."""
     xf = x.astype(jnp.float32)
@@ -153,5 +237,57 @@ def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
     while mf.ndim < 3:
         mf = mf[None]
     shift, scale = jnp.split(mf, 2, axis=-1)
+    out = _modulate(_ln(h), shift, scale)
+    return out @ q["ln_out_w"] + q["ln_out_b"]
+
+
+def denoise_cond_int8(x: jax.Array, t_emb: jax.Array, img_emb,
+                      kv_cache, q: Dict[str, Any], num_heads: int,
+                      interpret: bool = False) -> jax.Array:
+    """int8 twin of the CONDITIONAL (non-UNet) `Score.__call__` for ONE step.
+
+    x: [B, z_scale, z_dim]; t_emb: [t_dim] (this step's slice of
+    `Score.embed_times` over the schedule); img_emb: [B, t_dim] image
+    embedding or scalar 0.0; kv_cache from `precompute_cond_kv`; q from
+    `quantize_cond_score_params`.
+
+    Mirrors models/score.py::Score.__call__ (reference score.py:117-151):
+    c = t_emb + img_emb, even blocks cross-attend to the cached condition
+    KV, odd blocks self-attend via the packed int8 qkv GEMM; the AdaLN
+    modulations are computed per step from ONE stacked bf16 GEMM.
+    """
+    from ldt_tpu.ops.pallas_attention import (
+        fused_attention,
+        fused_attention_packed,
+    )
+
+    c = (t_emb[None] + img_emb).astype(jnp.bfloat16)      # [B, t_dim]
+    sc = jax.nn.silu(c)
+    nb = len(q["blocks"])
+    mods = (sc @ q["ada_w"] + q["ada_b"]).reshape(sc.shape[0], nb, -1)
+    h = (x.astype(jnp.bfloat16) @ q["ln_in_w"]) + q["ln_in_b"]
+    d = h.shape[-1]
+    for i, blk in enumerate(q["blocks"]):
+        m = mods[:, i][:, None, :]                        # [B, 1, 6*hidden]
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
+        q_in = _modulate(_ln(h), shift_msa, scale_msa)
+        if kv_cache[i] is not None:
+            qq = int8_matmul(q_in, blk["q_w"], blk["q_s"]) + blk["q_b"]
+            kv = kv_cache[i]
+            att = fused_attention(qq, kv[..., :d], kv[..., d:], num_heads,
+                                  interpret)
+        else:
+            qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
+            att = fused_attention_packed(qkv, num_heads, interpret)
+        att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
+        h = h + gate_msa * att
+        m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
+        up = jax.nn.gelu(
+            int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
+        dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
+        h = h + gate_mlp * dn
+    fm = (sc @ q["fin_w"] + q["fin_b"])[:, None, :]
+    shift, scale = jnp.split(fm, 2, axis=-1)
     out = _modulate(_ln(h), shift, scale)
     return out @ q["ln_out_w"] + q["ln_out_b"]

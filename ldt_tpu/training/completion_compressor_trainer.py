@@ -76,6 +76,11 @@ class Trainer(CompressorTrainer):
     def load_pretrain(self):
         from ldt_tpu.training.checkpoint import load_checkpoint, restore_into
 
+        if not self.cfg.model.pretrain_path:
+            raise ValueError(
+                "completion compressor finetune bootstraps from a stage-1 "
+                "checkpoint: set model.pretrain_path in config.yaml (or "
+                "pass --resume to continue this run)")
         ckpt = load_checkpoint(self.cfg.model.pretrain_path)
         restored = restore_into({"state": self.state}, ckpt["state"])
         self.state = restored["state"]

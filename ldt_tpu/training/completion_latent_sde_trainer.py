@@ -102,12 +102,46 @@ class Trainer(LatentSDETrainer):
             cond_enc = model.apply(variables, condition,
                                    method=Score.encode_condition)
 
-            def score_fn(t, x, step=None):
-                # fused Pallas attention applies to the cross-attention too:
-                # condition tokens == z_scale == query tokens
-                p = sample_model.apply(variables, x, t, None, cond_enc)
-                std = sde.std(t)[:, None, None]
-                return -p / std, p
+            serve_int8 = (os.environ.get("LDT_SERVE_INT8", "0") == "1"
+                          and not cfg.score.unet and cfg.score.AdaLN
+                          and self.sample_mode != "continuous"
+                          and sde_cfg.predictor != "pndm"
+                          and cond_enc[0] is not None)
+            if serve_int8:
+                # W8A8 conditional serving (ldt_tpu/serving/int8.py):
+                # weights quantized once per run; the static condition KV
+                # and the schedule's time embeddings hoisted out of the
+                # scan; AdaLN mods computed per step (c depends on the
+                # per-sample image embedding). Changes sampler numerics —
+                # gate with scripts/int8_golden_gate.py --completion first.
+                from ldt_tpu.serving.int8 import (
+                    denoise_cond_int8,
+                    precompute_cond_kv,
+                    quantize_cond_score_params,
+                )
+
+                schedule = jnp.linspace(1.0, self.sample_time_eps,
+                                        sde_cfg.sample_N)
+                t_embs = model.apply(variables, schedule,
+                                     method=Score.embed_times)
+                qp = quantize_cond_score_params(params,
+                                                cfg.score.num_blocks)
+                kv_cache = precompute_cond_kv(qp, cond_enc[0])
+                interp = jax.default_backend() != "tpu"
+
+                def score_fn(t, x, step):
+                    p = denoise_cond_int8(
+                        x, t_embs[step], cond_enc[1], kv_cache, qp,
+                        cfg.score.num_heads, interpret=interp)
+                    std = sde.std(t)[:, None, None]
+                    return -p.astype(jnp.float32) / std, p
+            else:
+                def score_fn(t, x, step=None):
+                    # fused Pallas attention applies to the cross-attention
+                    # too: condition tokens == z_scale == query tokens
+                    p = sample_model.apply(variables, x, t, None, cond_enc)
+                    std = sde.std(t)[:, None, None]
+                    return -p / std, p
 
             k_sde, k_dec = jax.random.split(rng)
             if self.sample_mode == "continuous":

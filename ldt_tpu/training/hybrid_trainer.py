@@ -297,6 +297,11 @@ class Trainer(LatentSDETrainer):
 
     def load_pretrain(self):
         """Bootstrap from a stage-2 dual checkpoint (cfg.opt.pretrain_path)."""
+        if not self.cfg.opt.pretrain_path:
+            raise ValueError(
+                "hybrid finetune bootstraps from a stage-2 dual checkpoint: "
+                "set opt.pretrain_path in config.yaml (or pass --resume to "
+                "continue this run)")
         ckpt = load_checkpoint(self.cfg.opt.pretrain_path)
         state = ckpt["state"]
         if "score" in state:

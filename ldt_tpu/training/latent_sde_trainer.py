@@ -431,6 +431,11 @@ class Trainer(BaseTrainer):
     def load_pretrain(self):
         """Bootstrap the frozen compressor from a stage-1 checkpoint
         (trainer/Latent_SDE_Trainer.py:269-273)."""
+        if not self.cfg.compressor.pretrain_path:
+            raise ValueError(
+                "stage-2 training bootstraps its frozen compressor from a "
+                "stage-1 checkpoint: set compressor.pretrain_path in "
+                "config.yaml (or pass --resume to continue a stage-2 run)")
         ckpt = load_checkpoint(self.cfg.compressor.pretrain_path)
         state = ckpt["state"]["state"]
         comp_vars = {"params": state["params"]}

@@ -117,8 +117,37 @@ def _args(save):
         finetune=False))
 
 
+def _seed_stage1_checkpoint(cfg, ws):
+    """Write a stage-1-format compressor checkpoint for the completion
+    finetune to load_pretrain from (the real workflow chains from a
+    `train_Compressor.py` run; reference train_Completion_Compressor.py:38)."""
+    import jax
+
+    from ldt_tpu.training.completion_compressor_trainer import (
+        Trainer,
+        fps_to,
+    )
+
+    seed_dir = os.path.join(os.path.dirname(cfg.log.save_path), "seed")
+    os.makedirs(seed_dir, exist_ok=True)
+    seed_cfg = dict2namespace(
+        yaml.safe_load(open(os.path.join(cfg.log.save_path, "config.yaml"))))
+    seed_cfg.log.save_path = seed_dir
+    tr = Trainer(seed_cfg, __import__("ldt_tpu.models", fromlist=["x"]
+                                      ).Compressor(seed_cfg.model),
+                 rng=jax.random.key(7))
+    pc = np.asarray(fps_to(np.random.RandomState(3).randn(
+        2, 128, 3).astype(np.float32), N_PTS))
+    tr.maybe_init({"tr_points": pc, "cate_idx": np.zeros((2,), np.int32)})
+    tr.save()
+    ckpt = sorted(f for f in os.listdir(seed_dir)
+                  if f.startswith("checkpt_") and f.endswith(".msgpack"))[-1]
+    return os.path.join(seed_dir, ckpt)
+
+
 def test_completion_stage1_then_stage2_entries(ws, tmp_path):
     cfg1 = _cfg(ws, str(tmp_path), "Compressor_Trainer")
+    cfg1.model.pretrain_path = _seed_stage1_checkpoint(cfg1, ws)
     train_Completion_Compressor.main(_args(tmp_path), cfg1)
     s1 = cfg1.log.save_path
     assert os.path.exists(os.path.join(s1, "training.csv"))

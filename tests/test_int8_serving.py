@@ -6,8 +6,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldt_tpu.serving.int8 import (
+    denoise_cond_int8,
     denoise_with_mods_int8,
     int8_matmul,
+    precompute_cond_kv,
+    quantize_cond_score_params,
     quantize_score_params,
     quantize_weight,
 )
@@ -86,6 +89,47 @@ class TestDenoiseInt8:
         # int8 GEMMs + bf16 carry: agreement to a few percent relative to
         # the output scale (the golden-eval gate judges METRIC deltas, this
         # test pins the math/wiring)
+        denom = np.abs(want).mean()
+        assert np.abs(got - want).mean() / denom < 0.05, (
+            np.abs(got - want).mean(), denom)
+
+    def test_cond_matches_bf16_forward(self):
+        """Conditional twin vs the full `Score.__call__` with a {'img','pts'}
+        condition: even blocks cross-attend to the cached condition KV, odd
+        blocks run the packed qkv path, AdaLN mods come from the stacked
+        per-step GEMM."""
+        from ldt_tpu.models import Score
+        from ldt_tpu.models.score import Score as ScoreCls
+
+        cfg = dict2namespace(dict(
+            num_steps=8, z_dim=16, z_scale=8, hidden_size=64, num_heads=4,
+            num_blocks=3, num_categorys=1, t_dim=32, dropout=0.0,
+            norm="layer_norm", learn_sigma=False, act="swish", unet=False,
+            AdaLN=True, condition=True))
+        model = Score(cfg)
+        z = jnp.zeros((2, 8, 16))
+        t = jnp.full((2,), 0.37)
+        condition = {
+            "img": jax.random.normal(jax.random.key(1), (2, 32, 32, 3)),
+            "pts": jax.random.normal(jax.random.key(2), (2, 64, 3)),
+        }
+        variables = jax.jit(model.init)(jax.random.key(0), z, t, None,
+                                        condition)
+        x = jax.random.normal(jax.random.key(3), (2, 8, 16))
+        want = np.asarray(
+            model.apply(variables, x, t, None, condition, train=False),
+            np.float32)
+
+        cond_enc = model.apply(variables, condition,
+                               method=ScoreCls.encode_condition)
+        assert cond_enc[0] is not None
+        t_embs = model.apply(variables, t[:1], method=ScoreCls.embed_times)
+        qp = quantize_cond_score_params(variables["params"], cfg.num_blocks)
+        kv_cache = precompute_cond_kv(qp, cond_enc[0])
+        assert kv_cache[0] is not None and kv_cache[1] is None
+        got = np.asarray(denoise_cond_int8(
+            x, t_embs[0], cond_enc[1], kv_cache, qp, cfg.num_heads,
+            interpret=True), np.float32)
         denom = np.abs(want).mean()
         assert np.abs(got - want).mean() / denom < 0.05, (
             np.abs(got - want).mean(), denom)

@@ -40,13 +40,17 @@ def main(args, cfg):
     model = Compressor(cfg.model)
     trainer = Trainer(cfg, model, rng=rng)
     trainer.info(vars(args))
+    first = next(iter(train_loader))
+    trainer.maybe_init({"tr_points": np.asarray(
+        fps_to(first["pc"], cfg.common.num_points)),
+        "cate_idx": np.zeros((first["pc"].shape[0],), np.int32)})
     if args.resume:
-        first = next(iter(train_loader))
-        trainer.maybe_init({"tr_points": np.asarray(
-            fps_to(first["pc"], cfg.common.num_points)),
-            "cate_idx": np.zeros((first["pc"].shape[0],), np.int32)})
         trainer.resume(epoch=args.resume_epoch, finetune=args.finetune,
                        strict=args.strict, load_optim=args.load_optimizer)
+    else:
+        # bootstrap the finetune from the stage-1 compressor checkpoint
+        # (reference train_Completion_Compressor.py:32-38)
+        trainer.load_pretrain()
 
     meters = {k: AverageMeter() for k in ("loss", "kl", "rec", "max")}
 
