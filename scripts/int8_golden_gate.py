@@ -133,6 +133,17 @@ def main():
                 out.append(np.asarray(smp))
             smp = np.concatenate(out)[: args.num]
             samples[mode] = smp
+            # steady-state rate: re-run the first batch with the jit warm
+            # (the loop above paid the compile)
+            import time as _time
+
+            bs0 = batches[0][0].shape[0]
+            t0 = _time.perf_counter()
+            jax.block_until_ready(trainer.sample(num_samples=bs0,
+                                                 condition=batches[0][1]))
+            dt = _time.perf_counter() - t0
+            print(f"[gate] {mode} steady-state: {bs0} clouds in {dt:.2f} s "
+                  f"= {bs0 / dt * 60:.1f} clouds/min/chip")
             cd = float(L2_ChamferEval_1000(jnp.asarray(smp),
                                            jnp.asarray(ref)))
             f1, _, _ = F1Score(jnp.asarray(smp), jnp.asarray(ref))

@@ -109,3 +109,123 @@ def test_gate_runs_and_reports(exp_dir, monkeypatch, capsys):
     assert rc in (0, 1)  # random-init numerics may exceed tight thresholds
     assert ("PASSED" in out) or ("FAILED" in out)
     assert os.environ.get("LDT_SERVE_INT8") is not None
+
+@pytest.fixture()
+def completion_exp_dir(tmp_path):
+    """ViPC completion experiment dir: tiny tree + config + one saved
+    conditional checkpoint (for the gate's --completion mode)."""
+    pytest.importorskip("PIL")
+    import pickle
+
+    from PIL import Image
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    synset = "02691156"
+    lines = []
+    for mid in ("mA", "mB"):
+        gt = root / "vipc" / "ShapeNetViPC-GT" / synset / mid
+        part = root / "vipc" / "ShapeNetViPC-Partial" / synset / mid
+        view = root / "vipc" / "ShapeNetViPC-View" / synset / mid / "rendering"
+        for d in (gt, part, view):
+            d.mkdir(parents=True)
+        meta = np.zeros((24, 5), np.float32)
+        meta[:, 0] = np.arange(24) * 15.0
+        meta[:, 1] = 25.0
+        np.savetxt(str(view.parent / "rendering_metadata.txt"), meta)
+        for v in range(24):
+            vv = str(v).rjust(2, "0")
+            with open(gt / f"{vv}.dat", "wb") as f:
+                pickle.dump(rng.randn(300, 3).astype(np.float32), f)
+            with open(part / f"{vv}.dat", "wb") as f:
+                pickle.dump(rng.randn(100, 3).astype(np.float32), f)
+            Image.fromarray((rng.rand(16, 16, 3) * 255).astype(
+                np.uint8)).save(view / f"{vv}.png")
+        lines.append(f"{synset};{mid};00\n")
+    for split in ("train_list2.txt", "test_list2.txt"):
+        with open(root / "vipc" / split, "w") as f:
+            f.writelines(lines)
+
+    model = dict(
+        outsize=N_PTS, max_outputs=N_PTS, input_dim=3, z_dim=4, z_scales=8,
+        p_dim=16, n_layers=2, hidden_dim=32, num_heads=2, activation="swish",
+        encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+        neighbors=8, encoder_layers=1, mlp_ratio=2.0, min_sigma=-30,
+        cluster_norm="anchor", norm_input=False, pre_group=False,
+        decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+        class_condition=False, num_categorys=1, pretrain_path=None)
+    exp = root / "exp"
+    exp.mkdir()
+    cfg = dict(
+        data=dict(type="ldt_tpu.data.vipc", train_cate="plane",
+                  test_cate="plane", train_preload=False, test_preload=False,
+                  data_dir=str(root / "vipc"),
+                  train_list=str(root / "vipc" / "train_list2.txt"),
+                  test_list=str(root / "vipc" / "test_list2.txt"),
+                  tr_max_sample_points=N_PTS, te_max_sample_points=N_PTS,
+                  batch_size=2, test_batch_size=2, num_categorys=1,
+                  num_workers=0),
+        opt=dict(adj_lr="warm_up", warmup_iters=2, lr=1e-3, beta1=0.9,
+                 beta2=0.999, ema_decay=0.99, weight_decay=0.0,
+                 grad_norm_clip_value=1.0, kl_weight=1e-6, loss_type="l2",
+                 discrete=True),
+        log=dict(save_epoch_freq=1, save_path=str(exp), log_epoch_freq=1,
+                 eval_epoch_freq=1000,
+                 traincolumns=["epoch", "itr", "loss", "time"],
+                 trainformat=[None, None, "{:.4f}", "{:.0f}"],
+                 evalcolumns=["epoch", "cd", "f1score"],
+                 evalformat=[None, "{:.8f}", "{:.8f}"]),
+        common=dict(epochs=2, num_points=N_PTS, seed=0),
+        model=model, compressor=model,
+        score=dict(num_steps=8, z_dim=8, z_scale=8, hidden_size=32,
+                   num_heads=4, num_blocks=2, num_categorys=1, t_dim=16,
+                   dropout=0.0, norm="layer_norm", learn_sigma=False,
+                   act="swish", unet=False, AdaLN=True, condition=True),
+        sde=dict(beta_start=0.1, beta_end=20.0, sde_type="vpsde",
+                 sigma2_0=0.0, iw_sample_p_mode="drop_all_iw",
+                 iw_sample_q_mode="drop_all_iw", time_eps=0.01, ode_tol=1e-4,
+                 sample_time_eps=1e-6, sample_mode="discrete",
+                 predictor="ancestral", corrector=None, train_N=8,
+                 sample_N=32, snr=0.01, corrector_steps=1, denoise=True,
+                 probability_flow=False, alpha=1.0),
+    )
+    with open(exp / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from ldt_tpu.data.vipc import get_data_loaders
+    from ldt_tpu.models import Compressor, Score
+    from ldt_tpu.training.checkpoint import wait_pending_saves
+    from ldt_tpu.training.completion_latent_sde_trainer import Trainer
+
+    ns = dict2namespace(cfg)
+    ns.log.save_path = str(exp)
+    tr = Trainer(ns, Score(ns.score), Compressor(ns.compressor))
+    loaders = get_data_loaders(ns.data)
+    tr.maybe_init(next(iter(loaders["train_loader"])))
+    tr.epoch = 3
+    tr.save()
+    wait_pending_saves()
+    with open(exp / "training.csv", "w") as f:
+        f.write("epoch,itr,loss,time\n3,6,1.0,3\n")
+    return exp
+
+
+def test_completion_gate_runs_and_reports(completion_exp_dir, monkeypatch,
+                                          capsys):
+    """--completion drives the CONDITIONAL int8 sampler
+    (ldt_tpu/serving/int8.py::denoise_cond_int8) through the gate: both
+    modes sample, CD x 1000 + F1 reported, verdict emitted."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    monkeypatch.setenv("LDT_SERVE_INT8", "0")
+    import scripts.int8_golden_gate as gate
+
+    monkeypatch.setattr(sys, "argv",
+                        ["gate", "--exp", str(completion_exp_dir),
+                         "--completion", "--num", "2", "--threshold", "1.0"])
+    rc = gate.main()
+    out = capsys.readouterr().out
+    assert "checkpt_3.msgpack" in out
+    assert "cd_x1000" in out and "f1score" in out
+    assert "paired CD" in out
+    assert rc in (0, 1)  # random-init numerics may exceed the threshold
+    assert ("PASSED" in out) or ("FAILED" in out)
