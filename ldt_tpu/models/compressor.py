@@ -36,6 +36,7 @@ from ldt_tpu.nn.layers import (
     get_activation,
 )
 from ldt_tpu.ops.geometry import cluster, index_points
+from ldt_tpu.parallel.sp import sp_shard
 
 Dtype = Any
 
@@ -415,7 +416,8 @@ class Compressor(nn.Module):
         """Stochastic top-down decoding (Network.py:208-233)."""
         cfg = self.cfg
         b = encoder_out[0].shape[0]
-        o = self.init_set(b, num_points if num_points is not None else cfg.outsize)
+        o = sp_shard(self.init_set(
+            b, num_points if num_points is not None else cfg.outsize))
         posteriors, all_eps, kls, all_logqz, all_logpz = [(o, None, None)], [], [], [], []
         det = not train
         for idx in range(cfg.n_layers):
@@ -427,7 +429,7 @@ class Compressor(nn.Module):
             logqz = log_p_var_normal(eps, mu, logvar)
             logpz = log_p_normal(eps)
             kls.append(logqz - logpz)
-            o = layer(o, eps, label, deterministic=det)
+            o = sp_shard(layer(o, eps, label, deterministic=det))
             all_eps.append(eps)
             posteriors.append((eps, mu, logvar))
             all_logqz.append(logqz)
@@ -460,7 +462,8 @@ class Compressor(nn.Module):
         """
         cfg = self.cfg
         b, num_points = shape[0], shape[1]
-        o = self.init_set(b, num_points if num_points is not None else cfg.outsize)
+        o = sp_shard(self.init_set(
+            b, num_points if num_points is not None else cfg.outsize))
         if given_eps is None:
             given_eps = jax.random.normal(
                 self.make_rng("sample"),
@@ -468,7 +471,7 @@ class Compressor(nn.Module):
         eps_list = jnp.split(given_eps, cfg.n_layers, axis=-1)
         for idx in range(cfg.n_layers):
             layer = self.decoder[cfg.n_layers - 1 - idx]
-            o = layer(o, eps_list[idx])
+            o = sp_shard(layer(o, eps_list[idx]))
         o = self.output_dense(o)
         return self.postprocess(o)
 

@@ -6,5 +6,7 @@ from ldt_tpu.parallel.mesh import (
     shard_batch,
     shard_leading_axis,
 )
+from ldt_tpu.parallel.sp import set_sp_mesh, sp_shard
 
-__all__ = ["data_mesh", "replicate", "shard_batch", "shard_leading_axis"]
+__all__ = ["data_mesh", "replicate", "shard_batch", "shard_leading_axis",
+           "set_sp_mesh", "sp_shard"]

@@ -174,6 +174,62 @@ class TestTensorParallel:
             np.testing.assert_allclose(got[k], want[k], rtol=1e-4,
                                        atol=1e-6, err_msg=k)
 
+    def test_sp_decode_matches_unsharded(self, tmp_path):
+        """Sequence-parallel decode (ldt_tpu/parallel/sp.py): the compressor
+        point axis sharded over the mesh's `model` axis must reproduce the
+        unsharded decode bit-for-bit-close (GSPMD partitioning of the
+        per-point cross-attention/MLP must not change the math)."""
+        from ldt_tpu.models import Compressor
+        from ldt_tpu.parallel.sp import set_sp_mesh
+        from ldt_tpu.parallel.tp import make_mesh
+        from tests.test_training import N_PTS, make_cfg
+
+        cfg = make_cfg(tmp_path)
+        comp = Compressor(cfg.compressor)
+        ccfg = cfg.compressor
+        pts = jnp.asarray(np.random.RandomState(0).randn(4, N_PTS, 3),
+                          jnp.float32)
+        variables = jax.jit(comp.init)(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, pts)
+        eps = jax.random.normal(
+            jax.random.key(2), (4, ccfg.z_scales, ccfg.n_layers * ccfg.z_dim))
+
+        def decode(comp_vars, eps):
+            return comp.apply(comp_vars, (4, N_PTS), eps,
+                              method=Compressor.sample)
+
+        set_sp_mesh(None)
+        want = jax.jit(decode)(variables, eps)
+        mesh = make_mesh(2)
+        set_sp_mesh(mesh)
+        try:
+            with mesh:
+                got = jax.jit(decode)(variables, eps)
+        finally:
+            set_sp_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_sp_shard_places_on_model_axis(self):
+        from ldt_tpu.parallel.sp import set_sp_mesh, sp_shard, sp_spec
+        from ldt_tpu.parallel.tp import make_mesh
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(2)  # data=4, model=2
+        assert sp_spec((8, 64, 16), mesh) == P("data", "model", None)
+        assert sp_spec((3, 64, 16), mesh) == P(None, "model", None)
+        assert sp_spec((8, 63, 16), mesh) == P("data", None, None)
+        assert sp_spec((3, 63, 16), mesh) is None
+        set_sp_mesh(mesh)
+        try:
+            out = jax.jit(lambda x: sp_shard(x) * 2.0)(jnp.ones((8, 64, 16)))
+        finally:
+            set_sp_mesh(None)
+        assert "model" in str(out.sharding.spec)
+        # no registry -> identity, even inside jit
+        out2 = jax.jit(sp_shard)(jnp.ones((8, 64, 16)))
+        assert np.asarray(out2).sum() == 8 * 64 * 16
+
     def test_tp_matches_single_device_loss(self, tmp_path):
         """Same rng + data: TP-sharded train step computes the same loss as
         the replicated one (GSPMD partitioning must not change the math)."""
