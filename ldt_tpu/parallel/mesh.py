@@ -57,3 +57,31 @@ def shard_leading_axis(mesh: Optional[Mesh], x, axis_name: str = "data"):
     if mesh is None or mesh.size == 1:
         return x
     return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+
+
+def device_put_host(mesh: Optional[Mesh], tree: Any):
+    """Device-put HOST (numpy) leaves of a pytree; jax.Arrays pass through.
+
+    Restored checkpoints arrive as numpy pytrees
+    (training/checkpoint.py::restore_into). Without explicit placement a
+    jitted call re-uploads every numpy argument on EVERY invocation —
+    measured ~36 s/call for the flagship 457M-param score state over the
+    TPU transport, dwarfing the ~1 ms/step of device compute. Training
+    self-heals after one step (the update returns device arrays), but
+    sampling-only flows (golden eval, gates, valsample-after-resume) never
+    write state back and pay the upload per call.
+
+    Placement is replicated over `mesh` when given (pure data parallelism
+    keeps params replicated); tensor-parallel placement is
+    parallel/tp.py::shard_train_state's job, which handles numpy leaves
+    itself.
+    """
+    sharding = (NamedSharding(mesh, P())
+                if mesh is not None and mesh.size > 1 else None)
+
+    def put(x):
+        if isinstance(x, np.ndarray):
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)

@@ -83,4 +83,7 @@ class Trainer(CompressorTrainer):
                 "pass --resume to continue this run)")
         ckpt = load_checkpoint(self.cfg.model.pretrain_path)
         restored = restore_into({"state": self.state}, ckpt["state"])
-        self.state = restored["state"]
+        from ldt_tpu.parallel.mesh import device_put_host
+
+        # restored leaves are host numpy: place once (see device_put_host)
+        self.state = device_put_host(self.mesh, restored["state"])

@@ -26,7 +26,7 @@ import numpy as np
 from ldt_tpu.eval import compute_all_metrics
 from ldt_tpu.eval.loss import CD_loss, EMD_loss
 from ldt_tpu.models import Compressor
-from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.parallel.mesh import device_put_host, shard_batch
 from ldt_tpu.training.base import BaseTrainer
 from ldt_tpu.training.checkpoint import (
     checkpoint_path,
@@ -251,7 +251,9 @@ class Trainer(BaseTrainer):
         new_state = restored["state"]
         if not load_optim and not finetune:
             new_state = new_state.replace(opt_state=self.state.opt_state)
-        self.state = new_state
+        # restored leaves are host numpy: place once, or every jitted call
+        # re-uploads the full state (parallel/mesh.py::device_put_host)
+        self.state = device_put_host(self.mesh, new_state)
         if not finetune:
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]

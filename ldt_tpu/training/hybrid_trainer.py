@@ -177,6 +177,15 @@ class Trainer(LatentSDETrainer):
         if self.comp_state.batch_stats is not None:
             self.comp_vars["batch_stats"] = self.comp_state.batch_stats
 
+    def _place_state(self):
+        """Also place the compressor's own train state (hybrid trains it)."""
+        super()._place_state()
+        if self.comp_state is not None:
+            from ldt_tpu.parallel.mesh import device_put_host
+
+            self.comp_state = device_put_host(self.mesh, self.comp_state)
+            self._sync_comp_vars()
+
     # -------------------------------------------------------------- update
     def update(self, data, condition=None, train_individual=True):
         self.maybe_init(data)
@@ -287,7 +296,7 @@ class Trainer(LatentSDETrainer):
             ckpt["state"], strict=strict)
         self.state = restored["score"]
         self.comp_state = restored["compressor_state"]
-        self._sync_comp_vars()
+        self._place_state()  # restored leaves are host numpy
         if finetune:
             self.epoch, self.itr = 1, 0
         else:
@@ -312,3 +321,4 @@ class Trainer(LatentSDETrainer):
                 self.comp_state = TrainState.create(
                     self.comp_vars["params"], self.comp_tx,
                     batch_stats=self.comp_vars.get("batch_stats"), ema=False)
+            self._place_state()  # restored leaves are host numpy

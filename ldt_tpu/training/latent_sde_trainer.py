@@ -36,7 +36,7 @@ from ldt_tpu.diffusion import make_diffusion
 from ldt_tpu.diffusion.sampling import sample_discrete, sample_model_ode
 from ldt_tpu.eval import compute_all_metrics
 from ldt_tpu.models import Compressor, Score
-from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.parallel.mesh import device_put_host, shard_batch
 from ldt_tpu.parallel.tp import (
     has_model_axis,
     shard_replicated,
@@ -305,15 +305,26 @@ class Trainer(BaseTrainer):
         self._place_state()
 
     def _place_state(self):
-        """Tensor-parallel placement: DiT weights + their Adam moments/EMA
-        sharded over the mesh's `model` axis (ldt_tpu/parallel/tp.py); the
-        compressor stays replicated. No-op without a model axis."""
-        if not has_model_axis(self.mesh):
+        """Device placement after init/restore.
+
+        Tensor-parallel: DiT weights + their Adam moments/EMA sharded over
+        the mesh's `model` axis (ldt_tpu/parallel/tp.py); the compressor
+        stays replicated. Otherwise: restored checkpoints arrive as host
+        numpy pytrees (checkpoint.py::restore_into) — device-put them once,
+        or every jitted call re-uploads the full parameter set (measured
+        ~36 s/call for the flagship score state through the TPU transport;
+        sampling-only flows never write state back, so they pay it on
+        EVERY call)."""
+        if has_model_axis(self.mesh):
+            if self.state is not None:
+                self.state = shard_train_state(self.state, self.mesh)
+            if self.comp_vars is not None:
+                self.comp_vars = shard_replicated(self.comp_vars, self.mesh)
             return
         if self.state is not None:
-            self.state = shard_train_state(self.state, self.mesh)
+            self.state = device_put_host(self.mesh, self.state)
         if self.comp_vars is not None:
-            self.comp_vars = shard_replicated(self.comp_vars, self.mesh)
+            self.comp_vars = device_put_host(self.mesh, self.comp_vars)
 
     # -------------------------------------------------------------- update
     def update(self, data, condition=None):

@@ -20,27 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/ldt_prof")
-    ap.add_argument("--top", type=int, default=25)
-    args = ap.parse_args()
-
-    import jax
-
-    os.environ.setdefault("LDT_BENCH_STEPS", "100")
-    os.environ.setdefault("LDT_BENCH_REPS", "1")
-    import bench
-
-    os.makedirs(args.out, exist_ok=True)
-    # warm-up/compile happens inside bench.main's first generate(); trace
-    # only the timed reps by monkey-wrapping time.perf_counter is overkill —
-    # instead trace the whole main() and read per-op totals (compile runs on
-    # the host, not the device timeline).
-    with jax.profiler.trace(args.out):
-        bench.main()
-
-    xplanes = glob.glob(os.path.join(args.out, "**", "*.xplane.pb"),
+def report_op_stats(out_dir: str, top: int = 25) -> int:
+    """Parse the newest xplane under `out_dir` with xprof's
+    framework_op_stats converter and print per-op device self-times."""
+    xplanes = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
                         recursive=True)
     if not xplanes:
         print("no xplane captured", file=sys.stderr)
@@ -78,12 +61,35 @@ def main():
     dev.sort(key=lambda r: -float(r[i_self] or 0))
     total = sum(float(r[i_self] or 0) for r in dev)
     print(f"{'type':<22}{'name':<44}{'occ':>7}{'self us':>11}{'%':>7}")
-    for r in dev[: args.top]:
+    for r in dev[:top]:
         print(f"{str(r[i_type])[:20]:<22}{str(r[i_name])[:42]:<44}"
               f"{int(r[i_occ]):>7}{float(r[i_self]):>11.0f}"
               f"{float(r[i_self]) / max(total, 1e-9):>7.1%}")
     print(f"TOTAL device self us (excl. IDLE): {total:.0f}")
     return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ldt_prof")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    os.environ.setdefault("LDT_BENCH_STEPS", "100")
+    os.environ.setdefault("LDT_BENCH_REPS", "1")
+    import bench
+
+    os.makedirs(args.out, exist_ok=True)
+    # warm-up/compile happens inside bench.main's first generate(); trace
+    # only the timed reps by monkey-wrapping time.perf_counter is overkill —
+    # instead trace the whole main() and read per-op totals (compile runs on
+    # the host, not the device timeline).
+    with jax.profiler.trace(args.out):
+        bench.main()
+
+    return report_op_stats(args.out, args.top)
 
 
 if __name__ == "__main__":

@@ -202,3 +202,11 @@ class TestLatentSDETrainer:
             np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]))
         assert t2.epoch == 3
+        # restored state must be DEVICE-resident: a host numpy leaf makes
+        # every jitted call re-upload the whole tree (measured ~36 s/call
+        # for the flagship score state over the TPU transport — sampling
+        # flows never write state back, so they pay it per call)
+        for tree in (t2.state, t2.comp_vars):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                assert not isinstance(leaf, np.ndarray), (
+                    "resume left a host numpy leaf in the train state")
