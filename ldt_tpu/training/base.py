@@ -69,6 +69,24 @@ class BaseTrainer:
     def write_log(self, message, mode="train"):
         self.logger.write(message, mode)
 
+    def write_eval(self, epoch, all_res):
+        """Write an eval.csv row by NAME-matching the configured evalcolumns
+        against the metric dict (a key like 'val/gen/mmd-CD' matches column
+        'mmd-CD'). The reference writes positionally and silently loses the
+        row whenever the eval returns a different metric count than the
+        config lists columns — with its shipped stage-2 configs (7 columns
+        vs 12 metrics) EVERY eval prints 'write log failed' and eval.csv
+        stays empty (reference train_Latent_Diffusion.py:62-67). Intentional
+        divergence (README): match by name, fall back to the reference's
+        positional row when names don't cover the schema."""
+        by_name = {k.rsplit("/", 1)[-1]: v for k, v in all_res.items()}
+        cols = self.logger.evalcolumns
+        if all(c == "epoch" or c in by_name for c in cols):
+            row = [epoch if c == "epoch" else by_name[c] for c in cols]
+        else:
+            row = [epoch] + list(all_res.values())
+        self.write_log(row, mode="eval")
+
     def info(self, message):
         self.logger.info(message)
 

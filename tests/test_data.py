@@ -154,3 +154,44 @@ class TestCsvLogger:
         assert train_rows[1] == "1,0.1235,13"
         eval_rows = open(tmp_path / "eval.csv").read().strip().split("\n")
         assert eval_rows[1] == "1,0.00012345"
+
+
+class TestWriteEval:
+    """BaseTrainer.write_eval name-matches evalcolumns against the metric
+    dict (the reference's positional write loses the row whenever counts
+    differ — its shipped stage-2 configs list 7 columns for 12 metrics)."""
+
+    def _trainer(self, tmp_path, evalcolumns, evalformat):
+        from ldt_tpu.training.base import BaseTrainer
+
+        cfg = dict2namespace(dict(
+            log=dict(save_path=str(tmp_path),
+                     traincolumns=["epoch"], trainformat=[None],
+                     evalcolumns=evalcolumns, evalformat=evalformat,
+                     save_epoch_freq=1),
+            opt=dict(lr=1e-3, warmup_iters=0),
+            common=dict(epochs=1),
+        ))
+        return BaseTrainer(cfg)
+
+    def test_name_matched_subset(self, tmp_path):
+        tr = self._trainer(tmp_path, ["epoch", "mmd-CD", "cov-CD"],
+                           [None, "{:.8f}", "{:.6f}"])
+        # 12-metric dict, prefixed keys, different order than columns
+        res = {"val/gen/cov-CD": 0.5, "val/gen/mmd-CD": 0.25,
+               "val/gen/1-NN-CD-acc": 0.9}
+        tr.write_eval(7, res)
+        rows = open(tmp_path / "eval.csv").read().strip().split("\n")
+        assert rows[1] == "7,0.25000000,0.500000"
+
+    def test_positional_fallback(self, tmp_path):
+        tr = self._trainer(tmp_path, ["epoch", "cd", "f1score"],
+                           [None, "{:.4f}", "{:.4f}"])
+        res = {"cd": 1.5, "f1score": 0.5}
+        tr.write_eval(3, res)
+        rows = open(tmp_path / "eval.csv").read().strip().split("\n")
+        assert rows[1] == "3,1.5000,0.5000"
+        # unknown names, matching count -> reference's positional order
+        tr.write_eval(4, {"a": 1.0, "b": 2.0})
+        rows = open(tmp_path / "eval.csv").read().strip().split("\n")
+        assert rows[2] == "4,1.0000,2.0000"

@@ -85,9 +85,7 @@ def main(args, cfg):
                     all_res = trainer.reconstruction(test_loader=test_loader)
                     trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
                     try:  # reference train_Completion_Compressor.py:84-87
-                        trainer.write_log(
-                            [trainer.epoch - 1] + list(all_res.values()),
-                            mode="eval")
+                        trainer.write_eval(trainer.epoch - 1, all_res)
                     except Exception:
                         print("write log failed")
                 if diverged():

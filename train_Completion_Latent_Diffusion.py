@@ -80,16 +80,13 @@ def main(args, cfg):
                 all_res = trainer.valsample(test_loader=test_loader)
                 trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
                 try:  # reference train_Completion_Latent_Diffusion.py:71-76
-                    trainer.write_log(
-                        [trainer.epoch - 1] + list(all_res.values()),
-                        mode="eval")
+                    trainer.write_eval(trainer.epoch - 1, all_res)
                 except Exception:
                     print("write log failed")
     else:
         all_res = trainer.valsample(test_loader=test_loader, full=True)
         trainer.info(str(all_res))
-        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
-                          mode="eval")
+        trainer.write_eval(trainer.epoch - 1, all_res)
 
 
 if __name__ == "__main__":

@@ -66,9 +66,7 @@ def main(args, cfg):
                     all_res = trainer.reconstruction(test_loader=test_loader)
                     trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
                     try:
-                        trainer.write_log(
-                            [trainer.epoch - 1] + list(all_res.values()),
-                            mode="eval")
+                        trainer.write_eval(trainer.epoch - 1, all_res)
                     except Exception:
                         print("write log failed")
                 if diverged():
@@ -96,8 +94,7 @@ def main(args, cfg):
                 reset_meters()
     else:
         all_res = trainer.reconstruction(test_loader=test_loader)
-        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
-                          mode="eval")
+        trainer.write_eval(trainer.epoch - 1, all_res)
 
 
 if __name__ == "__main__":

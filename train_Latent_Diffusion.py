@@ -63,9 +63,7 @@ def main(args, cfg):
                                             val_cate=val_cate)
                 trainer.info(f"epoch{trainer.epoch - 1}:" + str(all_res))
                 try:
-                    trainer.write_log(
-                        [trainer.epoch - 1] + list(all_res.values()),
-                        mode="eval")
+                    trainer.write_eval(trainer.epoch - 1, all_res)
                 except Exception:
                     print("write log failed")
                 trainer.updata_time()
@@ -75,8 +73,7 @@ def main(args, cfg):
     else:
         all_res = trainer.valsample(test_loader=test_loader,
                                     val_cate=val_cate)
-        trainer.write_log([trainer.epoch - 1] + list(all_res.values()),
-                          mode="eval")
+        trainer.write_eval(trainer.epoch - 1, all_res)
 
 
 if __name__ == "__main__":
