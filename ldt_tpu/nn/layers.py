@@ -200,11 +200,15 @@ class ActNorm(nn.Module):
             reduce_axes = (0,)
 
         if self.data_dep_init:
+            # stats in f32 so the PARAMS stay f32 even when the activations
+            # run bf16 (mixed-precision training, common.train_dtype)
             def shift_init(key, x=x):
-                return jnp.mean(x, axis=reduce_axes, keepdims=True).reshape(shape)
+                return jnp.mean(x.astype(jnp.float32), axis=reduce_axes,
+                                keepdims=True).reshape(shape)
 
             def log_scale_init(key, x=x):
-                std = jnp.std(x, axis=reduce_axes, keepdims=True, ddof=1)
+                std = jnp.std(x.astype(jnp.float32), axis=reduce_axes,
+                              keepdims=True, ddof=1)
                 return jnp.log(std + self.eps).reshape(shape)
         else:
             shift_init = nn.initializers.zeros

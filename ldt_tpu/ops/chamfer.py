@@ -75,6 +75,13 @@ def chamfer_distance(x: jax.Array, y: jax.Array, chunk: int | None = None):
       with squared euclidean distances — same contract as the reference
       `chamfer_3DDist` (evaluation/cd.py:27-62).
     """
+    # Distances always compute in f32: they feed min/argmin (bf16 ties skew
+    # matches) and the HIGHEST-precision einsum promotes inside the scan body
+    # anyway — without the cast a bf16 input breaks the scan carry dtype.
+    # Under mixed-precision training (common.train_dtype) the VJP casts the
+    # f32 cotangent back to the caller's dtype automatically.
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     n, m = x.shape[1], y.shape[1]
     if chunk is None:
         chunk = m if n * m <= 4_194_304 else 1024

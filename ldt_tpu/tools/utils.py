@@ -49,6 +49,28 @@ def trace_df_dx_hutchinson(f, x, noise):
     return jnp.sum(prod, axis=-1)
 
 
+def train_dtype(cfg):
+    """Resolve `cfg.common.train_dtype` to the models' computation dtype.
+
+    'float32' (default): the reference's numerics — every matmul f32
+    (~1/4 the TPU MXU rate). 'bfloat16': mixed precision — flax keeps
+    params in f32 (`param_dtype` default) while activations/matmuls run
+    bf16; losses promote back to f32 where they mix with f32 operands
+    (noise, weights). Standard DiT training practice; the stage-2 score
+    update is otherwise f32-MXU-bound (docs/sampler_profile.md roofline).
+    Unknown values raise (loud-config-errors convention).
+    """
+    import jax.numpy as jnp
+
+    name = str(getattr(cfg.common, "train_dtype", None) or "float32")
+    table = {"float32": jnp.float32, "f32": jnp.float32,
+             "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(
+            f"common.train_dtype={name!r}: expected one of {sorted(table)}")
+    return table[name]
+
+
 def sync_epoch_values(values):
     """One device->host transfer for an epoch's worth of per-step scalars.
 

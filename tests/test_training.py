@@ -210,3 +210,49 @@ class TestLatentSDETrainer:
             for leaf in jax.tree_util.tree_leaves(tree):
                 assert not isinstance(leaf, np.ndarray), (
                     "resume left a host numpy leaf in the train state")
+
+
+class TestMixedPrecision:
+    """common.train_dtype: 'bfloat16' = mixed precision (f32 params, bf16
+    compute); models are constructed with dtype=train_dtype(cfg) by every
+    entry. The stage-2 score update is otherwise f32-MXU-bound on TPU."""
+
+    def test_train_dtype_knob(self, tmp_path):
+        from ldt_tpu.tools.utils import train_dtype
+
+        cfg = make_cfg(tmp_path)
+        assert train_dtype(cfg) == jnp.float32
+        cfg.common.train_dtype = "bfloat16"
+        assert train_dtype(cfg) == jnp.bfloat16
+        cfg.common.train_dtype = "fp17"
+        with pytest.raises(ValueError, match="train_dtype"):
+            train_dtype(cfg)
+
+    def test_bf16_stage2_step_matches_f32(self, tmp_path):
+        batch = fake_batch()
+        losses = {}
+        for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            cfg = make_cfg(tmp_path / name)
+            tr = latent_sde_trainer.Trainer(
+                cfg, model=Score(cfg.score, dtype=dt),
+                compressor=Compressor(cfg.compressor, dtype=dt),
+                rng=jax.random.key(0))
+            tr.maybe_init(batch)
+            # params are MASTER f32 regardless of the compute dtype
+            for leaf in jax.tree_util.tree_leaves(tr.state.params):
+                assert leaf.dtype == jnp.float32
+            ls = [float(tr.update(batch)) for _ in range(3)]
+            assert all(np.isfinite(v) for v in ls)
+            losses[name] = ls
+        # same seeds and data: bf16 compute tracks the f32 losses closely
+        np.testing.assert_allclose(losses["bf16"], losses["f32"],
+                                   rtol=0.05, atol=0.02)
+
+    def test_bf16_stage1_step(self, tmp_path):
+        cfg = make_cfg(tmp_path)
+        tr = compressor_trainer.Trainer(
+            cfg, Compressor(cfg.model, dtype=jnp.bfloat16))
+        loss, kl, rec, max_f = tr.update(fake_batch())
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(tr.state.params):
+            assert leaf.dtype == jnp.float32

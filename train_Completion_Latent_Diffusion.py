@@ -18,6 +18,7 @@ from ldt_tpu.tools.utils import (
     AverageMeter,
     common_init,
     sync_epoch_values,
+    train_dtype,
 )
 from ldt_tpu.training.completion_latent_sde_trainer import Trainer
 from ldt_tpu.training.completion_compressor_trainer import fps_to
@@ -36,8 +37,9 @@ def get_completion_config(args):
 
 def main(args, cfg):
     rng = common_init(cfg.common.seed)
-    model = Score(cfg.score)
-    compressor = Compressor(cfg.compressor)
+    dt = train_dtype(cfg)
+    model = Score(cfg.score, dtype=dt)
+    compressor = Compressor(cfg.compressor, dtype=dt)
     loaders = get_data_loaders(cfg.data)
     train_loader = loaders["train_loader"]
     test_loader = loaders["test_loader"]

@@ -13,7 +13,7 @@ import numpy as np
 from ldt_tpu.cli import get_config, get_parser, progress
 from ldt_tpu.data import get_data_loaders
 from ldt_tpu.models import Compressor
-from ldt_tpu.tools.utils import AverageMeter, common_init
+from ldt_tpu.tools.utils import AverageMeter, common_init, train_dtype
 from ldt_tpu.training.compressor_trainer import Trainer
 
 
@@ -23,7 +23,7 @@ def main(args, cfg):
     train_loader = loaders["train_loader"]
     test_loader = loaders["test_loader"]
 
-    model = Compressor(cfg.model)
+    model = Compressor(cfg.model, dtype=train_dtype(cfg))
     trainer = Trainer(cfg, model, rng=rng)
     trainer.info(vars(args))
 

@@ -14,14 +14,16 @@ from ldt_tpu.tools.utils import (
     AverageMeter,
     common_init,
     sync_epoch_values,
+    train_dtype,
 )
 from ldt_tpu.training.latent_sde_trainer import Trainer
 
 
 def main(args, cfg):
     rng = common_init(cfg.common.seed)
-    model = Score(cfg.score)
-    compressor = Compressor(cfg.compressor)
+    dt = train_dtype(cfg)
+    model = Score(cfg.score, dtype=dt)
+    compressor = Compressor(cfg.compressor, dtype=dt)
     loaders = get_data_loaders(cfg.data, args)
     train_loader = loaders["train_loader"]
     test_loader = loaders["test_loader"]
