@@ -211,6 +211,65 @@ def _fwd_kernel_packed_phased(qkv_ref, o_ref, s_scratch, *, num_heads: int):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _bwd_kernel_packed_phased(qkv_ref, g_ref, dqkv_ref, s_scratch, d_scratch,
+                              *, num_heads: int):
+    """Phase-separated backward of `_fwd_kernel_packed`.
+
+    Same idea as `_fwd_kernel_packed_phased`: the per-head bwd loop
+    interleaves five [32, xx] matmuls with two VPU passes per head — each
+    chain latency-bound, the units ping-pong (measured 445 us/block in the
+    flagship train step vs 51 us for the phased forward). Split into five
+    dense phases over ROW-stacked f32 scratch ([H*N, M], sublane-aligned):
+
+      1. all H score matmuls -> s_scratch;
+      2. ONE softmax over the stack (w kept f32 in s_scratch);
+      3. all H dw = g_h @ v_h^T matmuls -> d_scratch;
+      4. ONE ds = w * (dw - rowsum(dw * w)) pass over the stack;
+      5. all H of dv = w^T g, dq = ds k, dk = ds^T q back-to-back.
+    """
+    _, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(n, d3)
+    g = g_ref[...].reshape(n, d)
+    scale = dh ** -0.5
+    for i in range(h):
+        q = x[:, i * dh:(i + 1) * dh]
+        k = x[:, d + i * dh:d + (i + 1) * dh]
+        s_scratch[i * n:(i + 1) * n, :] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+    w = _softmax_rows(s_scratch[...])                      # [H*N, M] f32
+    wb = w.astype(x.dtype)
+    for i in range(h):
+        v = x[:, 2 * d + i * dh:2 * d + (i + 1) * dh]
+        gh = g[:, i * dh:(i + 1) * dh]
+        d_scratch[i * n:(i + 1) * n, :] = jax.lax.dot_general(
+            gh, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dw = d_scratch[...]
+    ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))  # [H*N, M] f32
+    dsc = ds.astype(x.dtype)
+    for i in range(h):
+        sl_q = slice(i * dh, (i + 1) * dh)
+        sl_k = slice(d + i * dh, d + (i + 1) * dh)
+        sl_v = slice(2 * d + i * dh, 2 * d + (i + 1) * dh)
+        q, k = x[:, sl_q], x[:, sl_k]
+        gh = g[:, sl_q.start:sl_q.stop]
+        wi = wb[i * n:(i + 1) * n, :]
+        dsi = dsc[i * n:(i + 1) * n, :]
+        dqkv_ref[0, :, sl_v] = jax.lax.dot_general(
+            wi, gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_q] = (jnp.dot(
+            dsi, k, preferred_element_type=jnp.float32)
+            * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_k] = (jax.lax.dot_general(
+            dsi, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dqkv_ref.dtype)
+
+
 def _fwd_kernel_grouped(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, os_, *,
                         num_heads: int, group: int):
     """Grouped-heads forward for SELF-attention shapes (N == M, few tokens).
@@ -279,6 +338,12 @@ _GROUP_HEADS = int(os.environ.get("LDT_ATTN_GROUP", "0"))
 # the 250-step flagship bench (v5e, round 3). LDT_ATTN_PHASED=0 restores
 # the interleaved per-head loop.
 _PHASED = os.environ.get("LDT_ATTN_PHASED", "1") == "1"
+
+# Phase-separated packed BACKWARD (`_bwd_kernel_packed_phased`) — same
+# schedule applied to the training-step bwd (profiled at 445 us/block,
+# 19% of the flagship train step). Separate gate from the forward so the
+# sampling fast path never depends on the bwd kernel's compile.
+_PHASED_BWD = os.environ.get("LDT_ATTN_PHASED_BWD", "1") == "1"
 
 
 def _fwd_call(q, k, v, num_heads: int, interpret: bool):
@@ -357,6 +422,19 @@ def _fwd_call_packed(qkv, num_heads: int, interpret: bool):
 def _bwd_call_packed(qkv, g, num_heads: int, interpret: bool):
     b, n, d3 = qkv.shape
     d = d3 // 3
+    if _PHASED_BWD:
+        kernel = functools.partial(_bwd_kernel_packed_phased,
+                                   num_heads=num_heads)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
+            grid=(b,),
+            in_specs=[_block(n, d3), _block(n, d)],
+            out_specs=_block(n, d3),
+            scratch_shapes=[pltpu.VMEM((num_heads * n, n), jnp.float32),
+                            pltpu.VMEM((num_heads * n, n), jnp.float32)],
+            interpret=interpret,
+        )(qkv, g)
     kernel = functools.partial(_bwd_kernel_packed, num_heads=num_heads)
     return pl.pallas_call(
         kernel,

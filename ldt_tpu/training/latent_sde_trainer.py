@@ -66,8 +66,15 @@ class Trainer(BaseTrainer):
         # TRAINING step uses it too — param trees are identical either way.
         fused = (jax.default_backend() == "tpu"
                  and not has_model_axis(self.mesh))
+        # The TRAINING model's attention backend is separately gated: the
+        # Pallas bwd kernel measured 0.445 ms/block in the flagship train
+        # step (11 ms/step, 19% of device time) — profile it against XLA
+        # autodiff attention with LDT_TRAIN_FUSED=0 (sampling keeps the
+        # fused fwd core either way).
+        train_fused = fused and os.environ.get("LDT_TRAIN_FUSED", "1") == "1"
         if fused:
-            model = Score(cfg.score, dtype=model.dtype, fused_attention=True)
+            model = Score(cfg.score, dtype=model.dtype,
+                          fused_attention=train_fused)
             compressor = Compressor(cfg.compressor, dtype=compressor.dtype,
                                     fused_attention=True)
         self.model = model

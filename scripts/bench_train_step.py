@@ -27,6 +27,9 @@ def main():
                     default="experiments/Latent_Diffusion_Trainer/"
                             "airplane_synth_stability")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--profile", default=None,
+                    help="trace dir: profile the steady update loop and "
+                         "print per-op device self-times")
     args = ap.parse_args()
 
     import numpy as np
@@ -92,6 +95,17 @@ def main():
     print(f"[{args.dtype}] encode {enc_ms:.1f} ms + update {upd_ms:.1f} ms "
           f"@ B={b} -> {rate:.0f} clouds/s through training "
           f"(loss={float(loss):.4f})")
+
+    if args.profile:
+        from profile_sampler import report_op_stats
+
+        os.makedirs(args.profile, exist_ok=True)
+        with jax.profiler.trace(args.profile):
+            for _ in range(args.reps):
+                state, loss = trainer._train_step(state, eps, label, lr,
+                                                  trainer._base_key)
+            jax.block_until_ready(loss)
+        return report_op_stats(args.profile, 30)
     return 0
 
 
