@@ -84,6 +84,12 @@ class BaseTrainer:
         if all(c == "epoch" or c in by_name for c in cols):
             row = [epoch if c == "epoch" else by_name[c] for c in cols]
         else:
+            # loud fallback: with a coincidentally matching count a typo'd
+            # column name would otherwise permute values silently
+            missing = [c for c in cols if c != "epoch" and c not in by_name]
+            self.info(f"write_eval: evalcolumns {missing} not in metric "
+                      f"names {sorted(by_name)} — falling back to the "
+                      "reference's positional row")
             row = [epoch] + list(all_res.values())
         self.write_log(row, mode="eval")
 

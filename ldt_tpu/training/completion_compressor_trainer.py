@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldt_tpu.eval.loss import F1Score, L2_ChamferEval_1000
+from ldt_tpu.parallel.mesh import device_put_host
 from ldt_tpu.ops.geometry import furthest_point_sample, index_points
 from ldt_tpu.training.compressor_trainer import Trainer as CompressorTrainer
 
@@ -83,7 +84,5 @@ class Trainer(CompressorTrainer):
                 "pass --resume to continue this run)")
         ckpt = load_checkpoint(self.cfg.model.pretrain_path)
         restored = restore_into({"state": self.state}, ckpt["state"])
-        from ldt_tpu.parallel.mesh import device_put_host
-
         # restored leaves are host numpy: place once (see device_put_host)
         self.state = device_put_host(self.mesh, restored["state"])

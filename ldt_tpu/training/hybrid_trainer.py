@@ -36,7 +36,7 @@ from ldt_tpu.diffusion import make_diffusion
 from ldt_tpu.eval import compute_all_metrics
 from ldt_tpu.eval.loss import CD_loss, EMD_loss
 from ldt_tpu.models import Compressor, Score
-from ldt_tpu.parallel.mesh import shard_batch
+from ldt_tpu.parallel.mesh import device_put_host, shard_batch
 from ldt_tpu.training.base import BaseTrainer
 from ldt_tpu.training.checkpoint import (
     checkpoint_path,
@@ -181,8 +181,6 @@ class Trainer(LatentSDETrainer):
         """Also place the compressor's own train state (hybrid trains it)."""
         super()._place_state()
         if self.comp_state is not None:
-            from ldt_tpu.parallel.mesh import device_put_host
-
             self.comp_state = device_put_host(self.mesh, self.comp_state)
             self._sync_comp_vars()
 

@@ -58,6 +58,11 @@ def main():
 
     epoch = (args.epoch if args.epoch is not None
              else latest_epoch_from_csv(args.exp))
+    if args.epoch is not None:
+        # an explicitly requested epoch must exist — don't silently profile
+        # a different checkpoint
+        assert os.path.exists(checkpoint_path(args.exp, args.epoch)), (
+            f"no checkpoint for --epoch {args.epoch} under {args.exp}")
     if epoch is None or not os.path.exists(checkpoint_path(args.exp, epoch)):
         import glob as _glob
         import re as _re
