@@ -211,6 +211,45 @@ def _fwd_kernel_packed_phased(qkv_ref, o_ref, s_scratch, *, num_heads: int):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _fwd_kernel_packed_phased_multi(qkv_ref, o_ref, s_scratch, *,
+                                    num_heads: int, elems: int):
+    """`_fwd_kernel_packed_phased` over `elems` batch elements per program.
+
+    The per-element program is ~750 cycles of latency-bound work (16 score
+    chains -> softmax -> 16 AV chains) plus per-program DMA/prologue
+    overhead, 1536 programs per flagship step. Folding E elements into one
+    program (grid b/E, block [E, N, 3D] collapsed to [E*N, 3D] — a free
+    leading-dim reshape, NOT the cross-batch row-masking that lost in round
+    1) gives the static scheduler E x more independent chains to overlap
+    and halves/quarters the per-program overhead. Scores stack into ONE
+    [E*H*N, M] scratch so the softmax still runs as a single VPU pass.
+    """
+    e_, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(e_ * n, d3)   # leading-dim collapse only
+    scale = dh ** -0.5
+    for e in range(elems):
+        rs = slice(e * n, (e + 1) * n)
+        for i in range(h):
+            q = x[rs, i * dh:(i + 1) * dh]
+            k = x[rs, d + i * dh:d + (i + 1) * dh]
+            row = (e * h + i) * n
+            s_scratch[row:row + n, :] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+    w = _softmax_rows(s_scratch[...]).astype(x.dtype)   # [E*H*N, M] in one go
+    for e in range(elems):
+        rs = slice(e * n, (e + 1) * n)
+        for i in range(h):
+            v = x[rs, 2 * d + i * dh:2 * d + (i + 1) * dh]
+            row = (e * h + i) * n
+            o_ref[e, :, i * dh:(i + 1) * dh] = jnp.dot(
+                w[row:row + n, :], v,
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _bwd_kernel_packed_phased(qkv_ref, g_ref, dqkv_ref, s_scratch, d_scratch,
                               *, num_heads: int):
     """Phase-separated backward of `_fwd_kernel_packed`.
@@ -339,6 +378,13 @@ _GROUP_HEADS = int(os.environ.get("LDT_ATTN_GROUP", "0"))
 # the interleaved per-head loop.
 _PHASED = os.environ.get("LDT_ATTN_PHASED", "1") == "1"
 
+# Batch elements per PROGRAM in the phased self-attention forward
+# (`_fwd_kernel_packed_phased_multi`); 1 = one element per program.
+# Experimental knob: E>1 amortizes per-program overhead and gives the
+# static scheduler E x more independent matmul chains (see kernel
+# docstring); bench before shipping a non-default.
+_ELEMS = int(os.environ.get("LDT_ATTN_ELEMS", "1"))
+
 # Phase-separated packed BACKWARD (`_bwd_kernel_packed_phased`) — same
 # schedule applied to the training-step bwd (profiled at 445 us/block,
 # 19% of the flagship train step). Separate gate from the forward so the
@@ -396,6 +442,21 @@ def _bwd_call(q, k, v, g, num_heads: int, interpret: bool):
 def _fwd_call_packed(qkv, num_heads: int, interpret: bool):
     b, n, d3 = qkv.shape
     d = d3 // 3
+    if _PHASED and _ELEMS > 1 and b % _ELEMS == 0:
+        e = _ELEMS
+        kernel = functools.partial(_fwd_kernel_packed_phased_multi,
+                                   num_heads=num_heads, elems=e)
+        eblock = lambda dd: pl.BlockSpec(  # noqa: E731
+            (e, n, dd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            grid=(b // e,),
+            in_specs=[eblock(d3)],
+            out_specs=eblock(d),
+            scratch_shapes=[pltpu.VMEM((e * num_heads * n, n), jnp.float32)],
+            interpret=interpret,
+        )(qkv)
     if _PHASED:
         kernel = functools.partial(_fwd_kernel_packed_phased,
                                    num_heads=num_heads)

@@ -54,7 +54,8 @@ class Trainer(BaseTrainer):
         self.model = model
         self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
                                  cfg.opt.weight_decay,
-                                 cfg.opt.grad_norm_clip_value)
+                                 cfg.opt.grad_norm_clip_value,
+                                 getattr(cfg.opt, "moment_dtype", "float32"))
         self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
         # fixed base for the on-device fold_in(base, step) hot-loop keys
         self.rng, self._base_key = jax.random.split(self.rng)

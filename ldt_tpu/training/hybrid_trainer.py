@@ -57,10 +57,10 @@ class Trainer(LatentSDETrainer):
         super().__init__(cfg, model, compressor, rng=rng, mesh=mesh)
         self.alpha = cfg.opt.alpha
         self.compressor_warmup = cfg.opt.compressor_warmup
-        self.comp_tx = make_optimizer(cfg.opt.compressor_beta1,
-                                      cfg.opt.compressor_beta2,
-                                      cfg.opt.weight_decay,
-                                      cfg.opt.grad_norm_clip_value)
+        self.comp_tx = make_optimizer(
+            cfg.opt.compressor_beta1, cfg.opt.compressor_beta2,
+            cfg.opt.weight_decay, cfg.opt.grad_norm_clip_value,
+            getattr(cfg.opt, "moment_dtype", "float32"))
         self.comp_state: Optional[TrainState] = None
         # the reference's Hybrid score step ALWAYS samples discrete t
         # (Hybrid_Trainer.py:93-95 has no continuous branch) even when the

@@ -81,7 +81,8 @@ class Trainer(BaseTrainer):
         self.compressor = compressor
         self.tx = make_optimizer(cfg.opt.beta1, cfg.opt.beta2,
                                  cfg.opt.weight_decay,
-                                 cfg.opt.grad_norm_clip_value)
+                                 cfg.opt.grad_norm_clip_value,
+                                 getattr(cfg.opt, "moment_dtype", "float32"))
         self.ema_decay = cfg.opt.ema_decay
         self.rng = rng if rng is not None else jax.random.key(cfg.common.seed)
         # Fixed per-trainer base keys: the hot train/encode steps derive

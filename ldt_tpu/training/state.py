@@ -53,14 +53,76 @@ class TrainState(struct.PyTreeNode):
         return self.ema_params if self.ema_params is not None else self.params
 
 
+def scale_by_adam_q(b1: float, b2: float, eps: float,
+                    moment_dtype) -> optax.GradientTransformation:
+    """`optax.scale_by_adam` with BOTH moments stored in `moment_dtype`.
+
+    The flagship stage-2 update is HBM-bound on optimizer-state traffic
+    (~16 GB/step of param/moment/EMA reads+writes at 457M params, see
+    docs/train_step_profile notes): the f32 mu/nu read+write is ~7.3 GB of
+    that. Storing the moments in bfloat16 halves it. All arithmetic stays
+    f32 — moments are upcast in-register, the update is computed from the
+    PRE-truncation f32 values, and only the stored copy is rounded, so the
+    per-step update direction is exact; the quantization error enters only
+    through the carried state. (optax's own `mu_dtype` covers mu only; nu
+    is the same traffic.)
+
+    Numerics caveat (why this is an opt-in knob, not the default): with
+    b2 = 0.999 the per-step relative change of a stationary nu is ~1e-3,
+    below the bf16 ulp (~4e-3) — small nu drifts can be absorbed by
+    rounding. Empirically the trajectories track f32 closely
+    (tests/test_training.py::TestMomentDtype and the TPU loss check in
+    README); the reference has no analog (torch Adam is f32-only).
+    State structure is `optax.ScaleByAdamState`, so checkpoints, TP
+    moment co-sharding and `_is_moment_path` are unchanged, and
+    `restore_into`'s dtype recast makes f32<->bf16 resumes transparent.
+    """
+    md = jnp.dtype(moment_dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=md)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32), updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu)
+        count = optax.safe_int32_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v, g: ((m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                             ).astype(g.dtype), mu, nu, updates)
+        store = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x.astype(md), t)
+        return new_updates, optax.ScaleByAdamState(
+            count=count, mu=store(mu), nu=store(nu))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
                    weight_decay: float = 0.0,
-                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+                   grad_clip: Optional[float] = 1.0,
+                   moment_dtype: str = "float32") -> optax.GradientTransformation:
     """clip -> adam direction (LR applied by the caller via `apply_updates_lr`).
 
     Matches torch `Adam(lr, betas, weight_decay)` + `clip_grad_norm_`
     (trainer/Compressor_Trainer.py:24-26,37-38): clipping runs on raw grads
     before the Adam moments, like the reference's clip-then-step order.
+
+    `moment_dtype` ("float32" default / "bfloat16") selects the Adam moment
+    STORAGE precision — see `scale_by_adam_q`. float32 keeps the stock
+    optax transform (bit-identical to previous behavior).
     """
     parts = []
     if grad_clip is not None:
@@ -70,7 +132,10 @@ def make_optimizer(beta1: float = 0.9, beta2: float = 0.999,
         # estimates (L2 style), unlike AdamW's decoupled decay — keep that
         # order for parity (all shipped configs use weight_decay=0).
         parts.append(optax.add_decayed_weights(weight_decay))
-    parts.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
+    if jnp.dtype(moment_dtype) == jnp.float32:
+        parts.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
+    else:
+        parts.append(scale_by_adam_q(beta1, beta2, 1e-8, moment_dtype))
     return optax.chain(*parts)
 
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--profile", default=None,
                     help="trace dir: profile the steady update loop and "
                          "print per-op device self-times")
+    ap.add_argument("--moments", choices=["f32", "bf16"], default="f32",
+                    help="Adam moment STORAGE precision "
+                         "(opt.moment_dtype, state.py::scale_by_adam_q)")
     args = ap.parse_args()
 
     import numpy as np
@@ -47,6 +50,7 @@ def main():
     cfg.log.save_path = "/tmp/ldt_bench_train"
     os.makedirs(cfg.log.save_path, exist_ok=True)
     cfg.common.train_dtype = {"f32": "float32", "bf16": "bfloat16"}[args.dtype]
+    cfg.opt.moment_dtype = {"f32": "float32", "bf16": "bfloat16"}[args.moments]
 
     dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     b = cfg.data.batch_size

@@ -219,3 +219,29 @@ def test_compressor_fused_forward_and_grads_match():
                     jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("elems", [2, 4])
+def test_multi_element_phased_variant_matches_reference(elems, monkeypatch):
+    """The multi-element phased packed forward
+    (`_fwd_kernel_packed_phased_multi`, LDT_ATTN_ELEMS) matches the oracle
+    and falls back per-element when the batch doesn't divide."""
+    import ldt_tpu.ops.pallas_attention as pa
+
+    b, n, h, dh = 4, 32, 16, 16
+    d = h * dh
+    ks = jax.random.split(jax.random.key(13), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    want = reference_attention_core(q, k, v, h)
+    monkeypatch.setattr(pa, "_PHASED", True)
+    monkeypatch.setattr(pa, "_ELEMS", elems)
+    got = pa._fwd_call_packed(qkv, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    # batch not divisible by elems -> single-element phased path
+    got3 = pa._fwd_call_packed(qkv[:3], h, True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want[:3]),
+                               rtol=2e-4, atol=2e-5)
