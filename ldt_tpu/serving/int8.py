@@ -205,6 +205,35 @@ def _ln(x: jax.Array) -> jax.Array:
     return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
 
 
+def _block_int8(h: jax.Array, m: jax.Array, blk: Dict[str, Any],
+                attention_fn) -> jax.Array:
+    """One DiT block of the int8 twins — shared by the unconditional and
+    conditional paths so a numerics fix lands in both at once.
+
+    modulate -> attention (via `attention_fn(q_in)`, the only part that
+    differs between self- and cross-attention blocks) -> int8 fc_o ->
+    gated residual -> modulate -> int8 MLP (gelu) -> gated residual.
+    """
+    (shift_msa, scale_msa, gate_msa,
+     shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
+    q_in = _modulate(_ln(h), shift_msa, scale_msa)
+    att = attention_fn(q_in)
+    att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
+    h = h + gate_msa * att
+    m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
+    up = jax.nn.gelu(
+        int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
+    dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
+    return h + gate_mlp * dn
+
+
+def _final_int8(h: jax.Array, mf: jax.Array, q: Dict[str, Any]) -> jax.Array:
+    """FinalLayer epilogue shared by both int8 twins."""
+    shift, scale = jnp.split(mf, 2, axis=-1)
+    out = _modulate(_ln(h), shift, scale)
+    return out @ q["ln_out_w"] + q["ln_out_b"]
+
+
 def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
                            q: Dict[str, Any], num_heads: int,
                            interpret: bool = False) -> jax.Array:
@@ -221,24 +250,16 @@ def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
         m = mods["blocks"][i]
         while m.ndim < 3:
             m = m[None]
-        (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
-        q_in = _modulate(_ln(h), shift_msa, scale_msa)
-        qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
-        att = fused_attention_packed(qkv, num_heads, interpret)
-        att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
-        h = h + gate_msa * att
-        m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
-        up = jax.nn.gelu(
-            int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
-        dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
-        h = h + gate_mlp * dn
+
+        def self_attn(q_in, blk=blk):
+            qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
+            return fused_attention_packed(qkv, num_heads, interpret)
+
+        h = _block_int8(h, m, blk, self_attn)
     mf = mods["final"]
     while mf.ndim < 3:
         mf = mf[None]
-    shift, scale = jnp.split(mf, 2, axis=-1)
-    out = _modulate(_ln(h), shift, scale)
-    return out @ q["ln_out_w"] + q["ln_out_b"]
+    return _final_int8(h, mf, q)
 
 
 def denoise_cond_int8(x: jax.Array, t_emb: jax.Array, img_emb,
@@ -269,25 +290,18 @@ def denoise_cond_int8(x: jax.Array, t_emb: jax.Array, img_emb,
     d = h.shape[-1]
     for i, blk in enumerate(q["blocks"]):
         m = mods[:, i][:, None, :]                        # [B, 1, 6*hidden]
-        (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
-        q_in = _modulate(_ln(h), shift_msa, scale_msa)
+
         if kv_cache[i] is not None:
-            qq = int8_matmul(q_in, blk["q_w"], blk["q_s"]) + blk["q_b"]
-            kv = kv_cache[i]
-            att = fused_attention(qq, kv[..., :d], kv[..., d:], num_heads,
-                                  interpret)
+            def attn(q_in, blk=blk, kv=kv_cache[i]):
+                qq = int8_matmul(q_in, blk["q_w"], blk["q_s"]) + blk["q_b"]
+                return fused_attention(qq, kv[..., :d], kv[..., d:],
+                                       num_heads, interpret)
         else:
-            qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
-            att = fused_attention_packed(qkv, num_heads, interpret)
-        att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
-        h = h + gate_msa * att
-        m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
-        up = jax.nn.gelu(
-            int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
-        dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
-        h = h + gate_mlp * dn
+            def attn(q_in, blk=blk):
+                qkv = int8_matmul(q_in, blk["qkv_w"],
+                                  blk["qkv_s"]) + blk["qkv_b"]
+                return fused_attention_packed(qkv, num_heads, interpret)
+
+        h = _block_int8(h, m, blk, attn)
     fm = (sc @ q["fin_w"] + q["fin_b"])[:, None, :]
-    shift, scale = jnp.split(fm, 2, axis=-1)
-    out = _modulate(_ln(h), shift, scale)
-    return out @ q["ln_out_w"] + q["ln_out_b"]
+    return _final_int8(h, fm, q)

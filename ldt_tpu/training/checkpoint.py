@@ -34,7 +34,9 @@ from __future__ import annotations
 
 import atexit
 import csv
+import glob
 import os
+import re
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
@@ -362,3 +364,31 @@ def latest_epoch_from_csv(save_path: str) -> Optional[int]:
 
 def checkpoint_path(save_path: str, epoch: int) -> str:
     return os.path.join(save_path, f"checkpt_{epoch}.msgpack")
+
+
+def resolve_checkpoint_epoch(save_path: str,
+                             epoch: Optional[int] = None) -> int:
+    """Resolve which checkpoint epoch to load under `save_path`.
+
+    An explicitly requested `epoch` must exist (never silently substitute a
+    different checkpoint). Otherwise use training.csv's last epoch, falling
+    back to the newest on-disk `checkpt_*.msgpack` when the CSV ran past the
+    last save (save_epoch_freq > 1) or is absent. Raises FileNotFoundError
+    when nothing is loadable.
+    """
+    if epoch is not None:
+        if not os.path.exists(checkpoint_path(save_path, epoch)):
+            raise FileNotFoundError(
+                f"no checkpoint for epoch {epoch} under {save_path}")
+        return epoch
+    epoch = latest_epoch_from_csv(save_path)
+    if epoch is not None and os.path.exists(checkpoint_path(save_path,
+                                                            epoch)):
+        return epoch
+    found = sorted(
+        int(m.group(1)) for f in glob.glob(
+            os.path.join(save_path, "checkpt_*.msgpack"))
+        if (m := re.search(r"checkpt_(\d+)\.msgpack$", f)))
+    if not found:
+        raise FileNotFoundError(f"no checkpoints under {save_path}")
+    return found[-1]

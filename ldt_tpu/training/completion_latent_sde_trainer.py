@@ -104,6 +104,7 @@ class Trainer(LatentSDETrainer):
 
             serve_int8 = (os.environ.get("LDT_SERVE_INT8", "0") == "1"
                           and not cfg.score.unet and cfg.score.AdaLN
+                          and cfg.score.norm == "layer_norm"
                           and self.sample_mode != "continuous"
                           and sde_cfg.predictor != "pndm"
                           and cond_enc[0] is not None)

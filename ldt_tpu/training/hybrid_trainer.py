@@ -311,12 +311,17 @@ class Trainer(LatentSDETrainer):
                 "continue this run)")
         ckpt = load_checkpoint(self.cfg.opt.pretrain_path)
         state = ckpt["state"]
-        if "score" in state:
-            self.state = restore_into(self.state, state["score"])
-            comp = state.get("compressor")
-            if comp is not None:
-                self.comp_vars = restore_into(self.comp_vars, comp)
-                self.comp_state = TrainState.create(
-                    self.comp_vars["params"], self.comp_tx,
-                    batch_stats=self.comp_vars.get("batch_stats"), ema=False)
-            self._place_state()  # restored leaves are host numpy
+        if "score" not in state:
+            raise ValueError(
+                f"{self.cfg.opt.pretrain_path}: not a stage-2 DUAL "
+                f"checkpoint (top-level keys {sorted(state)}); hybrid "
+                "finetune needs the score+compressor checkpoint written by "
+                "train_Latent_Diffusion.py, not a stage-1 compressor one")
+        self.state = restore_into(self.state, state["score"])
+        comp = state.get("compressor")
+        if comp is not None:
+            self.comp_vars = restore_into(self.comp_vars, comp)
+            self.comp_state = TrainState.create(
+                self.comp_vars["params"], self.comp_tx,
+                batch_stats=self.comp_vars.get("batch_stats"), ema=False)
+        self._place_state()  # restored leaves are host numpy

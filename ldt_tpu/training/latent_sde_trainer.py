@@ -226,7 +226,11 @@ class Trainer(BaseTrainer):
                                         sde_cfg.sample_N)
                 mods = model.apply({"params": params}, schedule,
                                    method=Score.precompute_mods)
-                serve_int8 = os.environ.get("LDT_SERVE_INT8", "0") == "1"
+                # the int8 twin hard-codes non-affine LayerNorm(1e-6)
+                # (serving/int8.py::_ln) — other cfg.score.norm values
+                # must fall through to the exact model path.
+                serve_int8 = (os.environ.get("LDT_SERVE_INT8", "0") == "1"
+                              and cfg.score.norm == "layer_norm")
                 if serve_int8:
                     # W8A8 serving path (ldt_tpu/serving/int8.py) — changes
                     # sampler numerics; enable only after the golden-eval

@@ -59,8 +59,8 @@ def main():
     from ldt_tpu.tools.io import dict2namespace
     from ldt_tpu.training.checkpoint import (
         checkpoint_path,
-        latest_epoch_from_csv,
         load_checkpoint,
+        resolve_checkpoint_epoch,
     )
 
     if args.completion:
@@ -78,21 +78,7 @@ def main():
     if args.predictor:
         cfg.sde.predictor = args.predictor
 
-    epoch = (args.epoch if args.epoch is not None
-             else latest_epoch_from_csv(args.exp))
-    assert epoch is not None, "no training.csv / --epoch"
-    if not os.path.exists(checkpoint_path(args.exp, epoch)):
-        # training.csv may run past the last saved checkpoint
-        # (save_epoch_freq > 1): fall back to the newest on-disk epoch
-        import glob as _glob
-        import re as _re
-
-        found = sorted(
-            int(m.group(1)) for f in _glob.glob(
-                os.path.join(args.exp, "checkpt_*.msgpack"))
-            if (m := _re.search(r"checkpt_(\d+)\.msgpack$", f)))
-        assert found, f"no checkpoints under {args.exp}"
-        epoch = found[-1]
+    epoch = resolve_checkpoint_epoch(args.exp, args.epoch)
     ckpt_path = checkpoint_path(args.exp, epoch)
     print(f"[gate] checkpoint: {ckpt_path}")
 

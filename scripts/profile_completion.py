@@ -43,10 +43,7 @@ def main():
     from ldt_tpu.data.vipc import get_data_loaders
     from ldt_tpu.models import Compressor, Score
     from ldt_tpu.tools.io import dict2namespace
-    from ldt_tpu.training.checkpoint import (
-        checkpoint_path,
-        latest_epoch_from_csv,
-    )
+    from ldt_tpu.training.checkpoint import resolve_checkpoint_epoch
     from ldt_tpu.training.completion_compressor_trainer import fps_to
     from ldt_tpu.training.completion_latent_sde_trainer import Trainer
 
@@ -56,23 +53,7 @@ def main():
     if args.steps:
         cfg.sde.sample_N = args.steps
 
-    epoch = (args.epoch if args.epoch is not None
-             else latest_epoch_from_csv(args.exp))
-    if args.epoch is not None:
-        # an explicitly requested epoch must exist — don't silently profile
-        # a different checkpoint
-        assert os.path.exists(checkpoint_path(args.exp, args.epoch)), (
-            f"no checkpoint for --epoch {args.epoch} under {args.exp}")
-    if epoch is None or not os.path.exists(checkpoint_path(args.exp, epoch)):
-        import glob as _glob
-        import re as _re
-
-        found = sorted(
-            int(m.group(1)) for f in _glob.glob(
-                os.path.join(args.exp, "checkpt_*.msgpack"))
-            if (m := _re.search(r"checkpt_(\d+)\.msgpack$", f)))
-        assert found, f"no checkpoints under {args.exp}"
-        epoch = found[-1]
+    epoch = resolve_checkpoint_epoch(args.exp, args.epoch)
     print(f"[profile] checkpoint epoch {epoch}, "
           f"int8={os.environ.get('LDT_SERVE_INT8', '0')}, "
           f"steps={cfg.sde.sample_N}")

@@ -245,3 +245,40 @@ class TestShapeDriftRestore:
         load_k = {"p": {"kernel": np.zeros((1, 8), np.float32)}}
         with pytest.raises(ValueError, match="kernel"):
             restore_into(tmpl_k, load_k)
+
+
+class TestResolveCheckpointEpoch:
+    """resolve_checkpoint_epoch — shared by the gate/profile scripts."""
+
+    def _touch(self, d, epoch):
+        (d / f"checkpt_{epoch}.msgpack").write_bytes(b"x")
+
+    def test_explicit_epoch_must_exist(self, tmp_path):
+        from ldt_tpu.training.checkpoint import resolve_checkpoint_epoch
+
+        self._touch(tmp_path, 10)
+        assert resolve_checkpoint_epoch(str(tmp_path), 10) == 10
+        with pytest.raises(FileNotFoundError, match="epoch 20"):
+            resolve_checkpoint_epoch(str(tmp_path), 20)
+
+    def test_csv_epoch_used_when_on_disk(self, tmp_path):
+        from ldt_tpu.training.checkpoint import resolve_checkpoint_epoch
+
+        (tmp_path / "training.csv").write_text("epoch,loss\n5,1.0\n7,0.9\n")
+        self._touch(tmp_path, 7)
+        assert resolve_checkpoint_epoch(str(tmp_path)) == 7
+
+    def test_falls_back_to_newest_on_disk(self, tmp_path):
+        from ldt_tpu.training.checkpoint import resolve_checkpoint_epoch
+
+        # CSV ran past the last save (save_epoch_freq > 1)
+        (tmp_path / "training.csv").write_text("epoch,loss\n9,1.0\n")
+        self._touch(tmp_path, 4)
+        self._touch(tmp_path, 8)
+        assert resolve_checkpoint_epoch(str(tmp_path)) == 8
+
+    def test_empty_dir_raises(self, tmp_path):
+        from ldt_tpu.training.checkpoint import resolve_checkpoint_epoch
+
+        with pytest.raises(FileNotFoundError, match="no checkpoints"):
+            resolve_checkpoint_epoch(str(tmp_path))

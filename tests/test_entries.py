@@ -145,6 +145,28 @@ class TestEntryPoints:
         train_Latent_Diffusion.main(make_args(evaluate=True), cfg2)
         assert seen["val_cate"] == 3
 
+    def test_hybrid_load_pretrain_rejects_non_dual(self, workspace):
+        """A stage-1 (compressor-only) checkpoint at opt.pretrain_path must
+        fail loudly, not start the finetune from random score weights."""
+        import jax
+
+        from ldt_tpu.data import get_data_loaders
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.training.checkpoint import save_checkpoint
+        from ldt_tpu.training.hybrid_trainer import Trainer
+
+        cfg = tiny_cfg(workspace, "Hybrid_Trainer", HYBRID_LOG)
+        loaders = get_data_loaders(cfg.data, make_args())
+        trainer = Trainer(cfg, model=Score(cfg.score),
+                          compressor=Compressor(cfg.compressor))
+        trainer.maybe_init(next(iter(loaders["train_loader"])))
+        bad = os.path.join(cfg.log.save_path, "stage1.msgpack")
+        save_checkpoint(bad, {"state": jax.device_get(trainer.comp_state)},
+                        cfg=cfg, epoch=1, itr=0, time=0.0)
+        cfg.opt.pretrain_path = bad
+        with pytest.raises(ValueError, match="DUAL"):
+            trainer.load_pretrain()
+
     def test_hybrid_valrecon(self, workspace):
         """Hybrid reconstruction eval (reference Hybrid_Trainer.py:249-307;
         we use the compressor where the reference's single-category branch
