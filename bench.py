@@ -25,7 +25,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _require_devices(timeout_s: float) -> None:
+    """Fail fast when the device transport is down.
+
+    `jax.devices()` over the axon tunnel blocks FOREVER when the relay is
+    dead (observed 2026-08-18: relay ports closed, jax.devices() hung past
+    5 min) — better to exit loudly than hang the driver's bench run.
+    Discovery runs in a daemon thread; on timeout we hard-exit since the
+    hung PJRT init cannot be cancelled.
+    """
+    import sys
+    import threading
+
+    done = threading.Event()
+    thread = threading.Thread(target=lambda: (jax.devices(), done.set()),
+                              daemon=True)
+    thread.start()
+    if not done.wait(timeout_s):
+        print(f"bench.py: device discovery did not complete in {timeout_s:.0f}"
+              " s — device transport (axon tunnel?) is down", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+
 def main():
+    _require_devices(float(os.environ.get("LDT_BENCH_DEVICE_TIMEOUT", 300)))
+
     from ldt_tpu.configs import compressor_cfg, score_cfg, sde_cfg
     from ldt_tpu.diffusion import make_diffusion
     from ldt_tpu.diffusion.sampling import sample_discrete
