@@ -107,10 +107,15 @@ class ConditionNet(nn.Module):
         if self.pt_condition and condition.get("pts") is not None:
             pts = condition["pts"]  # [B, N, 3]
             x = Dense(128, dtype=self.dtype, name="pc_conv_in")(pts)
+            # neighbor count: the reference's `x.shape[1] // patch_size * 2`
+            # (score.py:41) reads the CHANNEL dim of the channels-first conv
+            # output — i.e. a constant 128, giving k=8 at the shipped
+            # patch_size=32 — not the point count. Probably a slip there,
+            # but it defines the trained architecture; mirror it exactly.
             _, x = LocalGrouper(128, True, normalize="center",
                                 dtype=self.dtype, name="group")(
                 pts, x, self.patch_size,
-                pts.shape[1] // self.patch_size * 2, train=train)
+                128 // self.patch_size * 2, train=train)
             pts_tokens = Dense(self.hidden_size, dtype=self.dtype,
                                   name="pc_conv_out")(x)
         return pts_tokens, (img_emb if img_emb is not None else 0.0)

@@ -45,10 +45,53 @@ def _install_shims():
         sys.modules["pointnet2_ops"] = mod
         sys.modules["pointnet2_ops.pointnet2_utils"] = sub
     if "torchvision" not in sys.modules:
+        # Structure-faithful resnet18 (torchvision isn't in the image). The
+        # reference keeps `Sequential(*children[:-4])` (score.py:26), so only
+        # the CHILD ORDER (conv1,bn1,relu,maxpool,layer1..layer4,avgpool,fc)
+        # and the BasicBlock op graph matter — state-dict keys are positional
+        # once wrapped in the Sequential.
+        import torch.nn as nn
+
+        class _BasicBlock(nn.Module):
+            def __init__(self, inp, out, stride=1):
+                super().__init__()
+                self.conv1 = nn.Conv2d(inp, out, 3, stride, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(out)
+                self.relu = nn.ReLU(inplace=True)
+                self.conv2 = nn.Conv2d(out, out, 3, 1, 1, bias=False)
+                self.bn2 = nn.BatchNorm2d(out)
+                self.downsample = None
+                if stride != 1 or inp != out:
+                    self.downsample = nn.Sequential(
+                        nn.Conv2d(inp, out, 1, stride, bias=False),
+                        nn.BatchNorm2d(out))
+
+            def forward(self, x):
+                idt = x if self.downsample is None else self.downsample(x)
+                out = self.relu(self.bn1(self.conv1(x)))
+                return self.relu(self.bn2(self.conv2(out)) + idt)
+
+        class _ResNet18(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.relu = nn.ReLU(inplace=True)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = nn.Sequential(_BasicBlock(64, 64),
+                                            _BasicBlock(64, 64))
+                self.layer2 = nn.Sequential(_BasicBlock(64, 128, 2),
+                                            _BasicBlock(128, 128))
+                self.layer3 = nn.Sequential(_BasicBlock(128, 256, 2),
+                                            _BasicBlock(256, 256))
+                self.layer4 = nn.Sequential(_BasicBlock(256, 512, 2),
+                                            _BasicBlock(512, 512))
+                self.avgpool = nn.AdaptiveAvgPool2d(1)
+                self.fc = nn.Linear(512, 1000)
+
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
-        tvm.resnet18 = lambda *a, **k: (_ for _ in ()).throw(
-            RuntimeError("resnet18 shim"))
+        tvm.resnet18 = lambda *a, **k: _ResNet18()
         tv.models = tvm
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
@@ -131,6 +174,28 @@ class TestScorePort:
             want = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
         got = np.asarray(mine.apply(variables, jnp.asarray(x),
                                     jnp.asarray(t), None))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_forward_parity_conditional(self):
+        """Completion-task Score (condition=True): ConditionNet image branch
+        (resnet18 trunk [:-4] + Linear) and partial-cloud branch
+        (conv -> LocalGrouper(center) -> conv), even-block cross-attention —
+        the exact surface a released completion checkpoint would need
+        (score.py:13-44,148-149)."""
+        ref, mine, variables = self._pair({"condition": True})
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 8, 8).astype(np.float32)
+        t = np.linspace(0.1, 1.0, 2).astype(np.float32)
+        img = rng.rand(2, 3, 32, 32).astype(np.float32)
+        pts = _pts(seed=3)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(t),
+                       condition={"img": torch.from_numpy(img),
+                                  "pts": torch.from_numpy(pts)}).numpy()
+        got = np.asarray(mine.apply(
+            variables, jnp.asarray(x), jnp.asarray(t), None,
+            {"img": jnp.asarray(img.transpose(0, 2, 3, 1)),
+             "pts": jnp.asarray(pts)}))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
     def test_standard_merge_differs(self):
