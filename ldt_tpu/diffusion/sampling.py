@@ -25,10 +25,21 @@ fixed schedule (the adaptive ODE) pass `step=None`; score_fns that require
 `step` must not be used there. The argument is explicit and positional-or-
 keyword so wrappers (functools.partial, decorators) compose safely.
 
-Known divergence from the reference (intentional): the reference's Langevin/
-Ancestral correctors compare `self.__class__` against *strings*
-(diffusion_continuous.py:195,216), so their `alpha` is always 1; we use the
-intended discrete alpha table. Correctors are off in all shipped configs.
+Known divergences from the reference (intentional, all verified by the
+code-vs-code trajectory tests in tests/test_sde_ref_parity.py):
+
+  * Langevin/Ancestral correctors: the reference compares `self.__class__`
+    against *strings* (diffusion_continuous.py:195,216), so their `alpha` is
+    always 1; we use the intended discrete alpha table. Correctors are off
+    in all shipped configs.
+  * VESDE prior scaling: `self.__class__ in ["DiffusionVESDE"]`
+    (diffusion_continuous.py:237-240) is the same dead string-compare, so
+    the reference never scales the initial draw by sqrt(sigma2_max); we
+    apply the intended N(0, sigma2_max) prior.
+  * PNDM: the reference's `alphas_cump[t].view(-1, 1)` only broadcasts
+    against 2-D latents and CRASHES at the shipped [B, 32, 120] shape
+    (diffusion_continuous.py:268-270); our scalar-`at` broadcast implements
+    the intended update (trajectory-equal on 2-D shapes where both run).
 """
 
 from __future__ import annotations
