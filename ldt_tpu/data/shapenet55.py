@@ -113,8 +113,11 @@ class Uniform15KPC:
                 normalize_point_cloud(self.all_points, verbose=True)
         else:
             n = self.all_points.shape[0]
+            # [N,1,3] ones, matching the reference's no-boundary placeholder
+            # (ShapeNet_55.py:119-120) so the item dict's `scale` is [1,3]
+            # here vs [1,1] under boundary=True, exactly like the reference
             self.per_points_shift = np.zeros((n, 1, 3), np.float32)
-            self.per_points_scale = np.ones((n, 1, 1), np.float32)
+            self.per_points_scale = np.ones((n, 1, 3), np.float32)
 
         self.train_points = self.all_points[:, :10000]
         self.test_points = self.all_points[:, 10000:]
