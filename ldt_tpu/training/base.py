@@ -23,6 +23,11 @@ class BaseTrainer:
         self.logger = logger(cfg)
         self.itr = 0
         self.epoch = 1
+        # global itr at the current epoch's first update — feeds the
+        # reference's scheduler-engagement gate (train_Compressor.py:46-47);
+        # resume() paths set it to None (= scheduler engaged, matching the
+        # reference's unconditional step-on-resume, Compressor_Trainer.py:182)
+        self._itr_epoch_start = 0
         self.time = 0.0
         self.tmp = time.time()
         if mesh is None and jax.device_count() > 1:
@@ -56,15 +61,17 @@ class BaseTrainer:
     def current_lr(self) -> float:
         """Warm-up + post-warm-up cosine, exactly the reference's imperative
         LR dance (trainer/base.py:32-37 + train_Compressor.py:46-47) folded
-        into one function of (itr, epoch)."""
+        into one function of (itr, epoch, itr-at-epoch-start) — see
+        state.py::make_lr_fn and tests/test_lr_ref_parity.py."""
         lr_fn = make_lr_fn(self.base_lr, self.cfg.opt.warmup_iters,
                            self.cfg.common.epochs)
-        return lr_fn(self.itr, self.epoch)
+        return lr_fn(self.itr, self.epoch, self._itr_epoch_start)
 
     def epoch_end(self):
         if self.epoch % self.cfg.log.save_epoch_freq == 0:
             self.save()
         self.epoch += 1
+        self._itr_epoch_start = self.itr
 
     def write_log(self, message, mode="train"):
         self.logger.write(message, mode)

@@ -259,3 +259,6 @@ class Trainer(BaseTrainer):
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]
             self.time = ckpt["time"]
+            # reference resume unconditionally steps the scheduler
+            # (Compressor_Trainer.py:181-182): cosine engaged
+            self._itr_epoch_start = None

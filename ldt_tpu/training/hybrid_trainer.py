@@ -300,6 +300,8 @@ class Trainer(LatentSDETrainer):
         else:
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]
+            # reference resume steps the scheduler: cosine engaged
+            self._itr_epoch_start = None
         self.time = ckpt["time"]
 
     def load_pretrain(self):

@@ -449,6 +449,8 @@ class Trainer(BaseTrainer):
         else:
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]
+            # reference resume steps the scheduler: cosine engaged
+            self._itr_epoch_start = None
         self.time = ckpt["time"]
 
     def load_pretrain(self):

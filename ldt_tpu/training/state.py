@@ -165,15 +165,26 @@ def apply_update(state: TrainState, grads, tx: optax.GradientTransformation,
 def make_lr_fn(base_lr: float, warmup_iters: int, epochs: int):
     """Reference LR dynamics: per-iter linear warm-up (trainer/base.py:32-37)
     then per-epoch cosine annealing to 0 (CosineAnnealingLR(T_max=epochs),
-    trainer/Compressor_Trainer.py:27), with the scheduler only engaged after
-    warm-up has elapsed (train_Compressor.py:46-47).
+    trainer/Compressor_Trainer.py:27), with `scheduler.step(epoch)` fired at
+    the START of an epoch only once `itr > warmup_iters` held there
+    (train_Compressor.py:46-47). That gate means the cosine does NOT engage
+    mid-epoch when warm-up completes — lr stays at base until the next
+    epoch boundary (and for the whole first epoch when warmup_iters == 0).
 
-    Returns lr(itr, epoch) -> float, evaluated host-side each step.
+    Returns lr(itr, epoch, itr_epoch_start) -> float, evaluated host-side
+    each step; `itr_epoch_start` is the global itr at the current epoch's
+    first update (BaseTrainer tracks it; None = assume the scheduler is
+    engaged, the reference's post-resume state, Compressor_Trainer.py:182).
+    Exactness proven against a live torch CosineAnnealingLR loop in
+    tests/test_lr_ref_parity.py.
     """
 
-    def lr_fn(itr: int, epoch: int) -> float:
+    def lr_fn(itr: int, epoch: int,
+              itr_epoch_start: Optional[int] = None) -> float:
         if itr < warmup_iters:
             return base_lr * min(float(itr + 1) / max(warmup_iters, 1), 1.0)
+        if itr_epoch_start is not None and itr_epoch_start <= warmup_iters:
+            return base_lr  # warm_up's last setting; scheduler not engaged
         return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / epochs))
 
     return lr_fn
