@@ -173,9 +173,13 @@ class ViPCDataLoader:
         else:
             pc_part = pc_part[: self.pc_input_num]
 
-        # rotation alignment via the rendering metadata (reference :261-274)
+        # rotation alignment via the rendering metadata (reference :261-274).
+        # The file lives INSIDE the rendering/ dir alongside the .pngs —
+        # the reference derives it as view_path[:-6] + 'rendering_metadata
+        # .txt' (ViPC.py:266); reading it from the model dir instead fails
+        # on the real ViPC tree (caught by tests/test_vipc_ref_parity.py).
         meta_path = os.path.join(self.rendering_path, synset, mid,
-                                 "rendering_metadata.txt")
+                                 "rendering", "rendering_metadata.txt")
         view_metadata = np.loadtxt(meta_path)
         theta_part = math.radians(view_metadata[int(view), 0])
         phi_part = math.radians(view_metadata[int(view), 1])

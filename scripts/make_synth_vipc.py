@@ -83,7 +83,8 @@ def main():
             meta[:, 0] = np.arange(args.views) * (360.0 / args.views)
             meta[:, 1] = 25.0
             np.savetxt(os.path.join(args.out, "ShapeNetViPC-View", SYNSET,
-                                    mid, "rendering_metadata.txt"), meta)
+                                    mid, "rendering",
+                                    "rendering_metadata.txt"), meta)
             for v in range(args.views):
                 vv = str(v).rjust(2, "0")
                 az = np.radians(meta[v, 0])

@@ -40,7 +40,7 @@ def vipc_root(tmp_path_factory):
         meta[:, 0] = np.arange(24) * 15.0  # azimuth degrees
         meta[:, 1] = 25.0
         np.savetxt(str(root / "ShapeNetViPC-View" / SYNSET / mid /
-                       "rendering_metadata.txt"), meta)
+                       "rendering" / "rendering_metadata.txt"), meta)
         for v in range(24):
             vv = str(v).rjust(2, "0")
             with open(gt_dir / f"{vv}.dat", "wb") as f:

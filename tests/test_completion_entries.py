@@ -39,7 +39,7 @@ def ws(tmp_path_factory):
         meta[:, 0] = np.arange(24) * 15.0
         meta[:, 1] = 25.0
         np.savetxt(str(root / "ShapeNetViPC-View" / SYNSET / mid /
-                       "rendering_metadata.txt"), meta)
+                       "rendering" / "rendering_metadata.txt"), meta)
         for v in range(24):
             vv = str(v).rjust(2, "0")
             with open(gt_dir / f"{vv}.dat", "wb") as f:

@@ -132,7 +132,7 @@ def completion_exp_dir(tmp_path):
         meta = np.zeros((24, 5), np.float32)
         meta[:, 0] = np.arange(24) * 15.0
         meta[:, 1] = 25.0
-        np.savetxt(str(view.parent / "rendering_metadata.txt"), meta)
+        np.savetxt(str(view / "rendering_metadata.txt"), meta)
         for v in range(24):
             vv = str(v).rjust(2, "0")
             with open(gt / f"{vv}.dat", "wb") as f:
