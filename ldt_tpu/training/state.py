@@ -147,8 +147,17 @@ def apply_update(state: TrainState, grads, tx: optax.GradientTransformation,
     params = jax.tree_util.tree_map(
         lambda p, u: p - lr * u, state.params, updates)
     if state.ema_params is not None and ema_decay > 0:
+        # The reference seeds the shadow at the FIRST step with the
+        # post-step params (tools/utils.py:48-50: `state['ema'] =
+        # p.data.clone()` after optimizer.step, then the blend collapses to
+        # ema = p). Blending against the INIT params instead keeps a
+        # decay^k-weighted ghost of the random init in every eval for the
+        # first ~1/(1-decay) steps. Matched exactly
+        # (tests/test_opt_ref_parity.py).
+        is_first = state.step == 0
         ema_params = jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            lambda e, p: jnp.where(is_first, p,
+                                   e * ema_decay + p * (1.0 - ema_decay)),
             state.ema_params, params)
     elif state.ema_params is not None:
         # decay == 0: EMA trails params exactly; copy to avoid buffer aliasing
