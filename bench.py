@@ -38,12 +38,27 @@ def _require_devices(timeout_s: float) -> None:
     import threading
 
     done = threading.Event()
-    thread = threading.Thread(target=lambda: (jax.devices(), done.set()),
-                              daemon=True)
-    thread.start()
+    err: list = []
+
+    def probe():
+        try:
+            jax.devices()
+        except BaseException as e:  # noqa: BLE001 — report, then exit
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
     if not done.wait(timeout_s):
         print(f"bench.py: device discovery did not complete in {timeout_s:.0f}"
               " s — device transport (axon tunnel?) is down", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+    if err:
+        # a fast failure (e.g. 'remote_compile: Broken pipe') beats a
+        # 5-minute stall + misdiagnosis — surface the real error immediately
+        print(f"bench.py: device discovery failed: {err[0]!r}",
+              file=sys.stderr)
         sys.stderr.flush()
         os._exit(3)
 

@@ -259,6 +259,10 @@ class Trainer(BaseTrainer):
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]
             self.time = ckpt["time"]
-            # reference resume unconditionally steps the scheduler
-            # (Compressor_Trainer.py:181-182): cosine engaged
-            self._itr_epoch_start = None
+            # resume lands on an epoch boundary, so the resumed itr IS
+            # the epoch-start itr: past warm-up the cosine is engaged (the
+            # reference resume steps the scheduler, Compressor_Trainer.py:
+            # 181-182); mid-warm-up the per-iter warm_up overwrite keeps lr
+            # at base until the NEXT boundary — both regimes fall out of
+            # the same gate (state.py::make_lr_fn).
+            self._itr_epoch_start = self.itr

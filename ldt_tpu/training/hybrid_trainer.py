@@ -300,8 +300,8 @@ class Trainer(LatentSDETrainer):
         else:
             self.epoch = ckpt["epoch"] + 1
             self.itr = ckpt["itr"]
-            # reference resume steps the scheduler: cosine engaged
-            self._itr_epoch_start = None
+            # epoch-boundary resume: see compressor_trainer.resume
+            self._itr_epoch_start = self.itr
         self.time = ckpt["time"]
 
     def load_pretrain(self):

@@ -182,10 +182,13 @@ def make_lr_fn(base_lr: float, warmup_iters: int, epochs: int):
 
     Returns lr(itr, epoch, itr_epoch_start) -> float, evaluated host-side
     each step; `itr_epoch_start` is the global itr at the current epoch's
-    first update (BaseTrainer tracks it; None = assume the scheduler is
-    engaged, the reference's post-resume state, Compressor_Trainer.py:182).
-    Exactness proven against a live torch CosineAnnealingLR loop in
-    tests/test_lr_ref_parity.py.
+    first update (BaseTrainer tracks it; resume paths set it to the resumed
+    itr — resume lands on an epoch boundary, which reproduces both the
+    reference's step-on-resume (Compressor_Trainer.py:182) and its
+    warm_up-overwrite-until-next-boundary behavior when resuming
+    mid-warm-up; None = assume engaged). Exactness proven against a live
+    torch CosineAnnealingLR loop in tests/test_lr_ref_parity.py, including
+    a mid-warm-up resume.
     """
 
     def lr_fn(itr: int, epoch: int,

@@ -39,19 +39,15 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
-    import yaml
 
     import jax
     import jax.numpy as jnp
 
+    from bench_util import load_exp_cfg, shard_inputs, time_fn
     from ldt_tpu.models import Compressor
-    from ldt_tpu.tools.io import dict2namespace
     from ldt_tpu.training.compressor_trainer import Trainer
 
-    with open(os.path.join(args.exp, "config.yaml")) as f:
-        cfg = dict2namespace(yaml.safe_load(f))
-    cfg.log.save_path = "/tmp/ldt_bench_stage1"
-    os.makedirs(cfg.log.save_path, exist_ok=True)
+    cfg = load_exp_cfg(args.exp, "/tmp/ldt_bench_stage1")
     if args.batch:
         cfg.data.batch_size = args.batch
 
@@ -67,34 +63,31 @@ def main():
     trainer.maybe_init(batch)
     print(f"[stage1] init: {time.perf_counter() - t0:.1f} s")
 
-    pts = jax.device_put(jnp.asarray(batch["tr_points"]))
-    label = trainer._label_of(batch)
+    # shard exactly like trainer.update() (compressor_trainer.py:146-150)
+    pts, label = shard_inputs(trainer, jnp.asarray(batch["tr_points"]),
+                              trainer._label_of(batch))
     lr = trainer.current_lr()
 
-    t0 = time.perf_counter()
-    state, *meters = trainer._train_step(trainer.state, pts, label, lr,
-                                         trainer._base_key)
-    jax.block_until_ready(meters[0])
-    print(f"[stage1] step compile+run: {time.perf_counter() - t0:.1f} s")
+    carry = {"state": trainer.state}
 
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        state, *meters = trainer._train_step(state, pts, label, lr,
-                                             trainer._base_key)
-    jax.block_until_ready(meters[0])
-    ms = (time.perf_counter() - t0) / args.reps * 1e3
+    def step():
+        carry["state"], loss, *_ = trainer._train_step(
+            carry["state"], pts, label, lr, trainer._base_key)
+        return loss
+
+    ms = time_fn(step, args.reps, "stage1 update")
     print(f"[stage1] update {ms:.1f} ms @ B={b} -> {b / ms * 1e3:.0f} "
-          f"clouds/s through training (loss={float(meters[0]):.4f})")
+          f"clouds/s through training")
 
     if args.profile:
         from profile_sampler import report_op_stats
 
         os.makedirs(args.profile, exist_ok=True)
         with jax.profiler.trace(args.profile):
+            loss = None
             for _ in range(args.reps):
-                state, *meters = trainer._train_step(state, pts, label, lr,
-                                                     trainer._base_key)
-            jax.block_until_ready(meters[0])
+                loss = step()
+            jax.block_until_ready(loss)
         return report_op_stats(args.profile, args.top)
     return 0
 
