@@ -107,3 +107,57 @@ class TestConfigLoudness:
         from ldt_tpu.nn.layers import make_norm
         with pytest.raises(TypeError):
             make_norm("rms_norm", 16)
+
+
+class TestBenchDeviceWatchdog:
+    """bench.py::_require_devices — ok / fast-raise / hang paths."""
+
+    def _load(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                       "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_ok_path_returns(self):
+        mod = self._load()
+        mod._require_devices(5.0)  # devices resolve on CPU: no exit
+
+    def test_fast_raise_exits_immediately(self, monkeypatch):
+        import time as _time
+
+        import jax
+
+        mod = self._load()
+
+        def boom():
+            raise RuntimeError("remote_compile: Broken pipe")
+
+        monkeypatch.setattr(jax, "devices", boom)
+        monkeypatch.setattr(os, "_exit",
+                            lambda code: (_ for _ in ()).throw(
+                                SystemExit(code)))
+        t0 = _time.perf_counter()
+        with pytest.raises(SystemExit):
+            mod._require_devices(30.0)
+        # the raise must short-circuit the timeout wait
+        assert _time.perf_counter() - t0 < 5.0
+
+    def test_hang_exits_after_timeout(self, monkeypatch):
+        import time as _time
+
+        import jax
+
+        mod = self._load()
+        monkeypatch.setattr(jax, "devices",
+                            lambda: _time.sleep(60))
+        monkeypatch.setattr(os, "_exit",
+                            lambda code: (_ for _ in ()).throw(
+                                SystemExit(code)))
+        t0 = _time.perf_counter()
+        with pytest.raises(SystemExit):
+            mod._require_devices(1.0)
+        assert 0.9 < _time.perf_counter() - t0 < 10.0
