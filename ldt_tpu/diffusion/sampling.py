@@ -71,13 +71,23 @@ def sample_discrete(
     denoise: bool = True,
     snr: float = 0.01,
     unroll: int = 1,
+    print_steps: Optional[int] = None,
 ) -> jax.Array:
     """Reverse-SDE predictor-corrector sampling (diffusion_continuous.py:133-338).
 
     Returns `[num_samples, *shape]` samples. Static arguments select the
     predictor/corrector at trace time, so the scan body stays branch-free.
+
+    `print_steps` mirrors the reference's trajectory-snapshot option
+    (diffusion_continuous.py:239-256; dead there — no caller — kept as a
+    working debug surface): the initial noise, every
+    `(N-1)//(print_steps-2)`-th step's x_mean, and the final sample are
+    returned STACKED as `[K, num_samples, *shape]` (the reference returns a
+    Python list). Not supported for PNDM (the reference's print path never
+    reaches it either).
     """
     if predictor == "pndm":
+        assert print_steps is None, "print_steps unsupported for pndm"
         return _pndm_sampling(sde, score_fn, rng, num_samples, shape, N,
                               time_eps)
 
@@ -184,23 +194,40 @@ def sample_discrete(
     pred_fn = predictors.get(predictor)
     corr_fn = correctors.get(corrector)
 
+    # snapshot cadence (diffusion_continuous.py:240-241,252-254)
+    interval = ((N - 1) // (print_steps - 2)
+                if print_steps is not None else None)
+    n_snaps = N // interval if interval else 0
+
     def body(carry, ti):
         t, i = ti
-        x, x_mean, step_rng = carry
+        x, x_mean, step_rng, snaps = carry
         step_rng, k1, k2 = jax.random.split(step_rng, 3)
         x_mean = x
         if pred_fn is not None:
             x, x_mean = pred_fn(x, t, i, k1)
         if corr_fn is not None:
             x, x_mean = corr_fn(x, t, i, k2)
-        return (x, x_mean, step_rng), None
+        if snaps is not None:
+            hit = (i + 1) % interval == 0
+            slot = jnp.minimum((i + 1) // interval - 1, n_snaps - 1)
+            snaps = lax.cond(
+                hit,
+                lambda s: lax.dynamic_update_index_in_dim(s, x_mean, slot, 0),
+                lambda s: s, snaps)
+        return (x, x_mean, step_rng, snaps), None
 
-    (x, x_mean, _), _ = lax.scan(
-        body, (x0, x0, rng), (timesteps, jnp.arange(N, dtype=jnp.int32)),
-        unroll=unroll)
+    snaps0 = (jnp.zeros((n_snaps,) + full_shape, x0.dtype)
+              if print_steps is not None else None)
+    (x, x_mean, _, snaps), _ = lax.scan(
+        body, (x0, x0, rng, snaps0),
+        (timesteps, jnp.arange(N, dtype=jnp.int32)), unroll=unroll)
     # `denoise` returns the noise-free mean of the final step
     # (diffusion_continuous.py:258).
-    return x_mean if denoise else x
+    final = x_mean if denoise else x
+    if print_steps is not None:
+        return jnp.concatenate([x0[None], snaps, final[None]], axis=0)
+    return final
 
 
 def _pndm_sampling(sde, score_fn, rng, num_samples, shape, N, time_eps):

@@ -257,3 +257,40 @@ class TestSamplerTrajectories:
             predictor=pred, corrector=None, time_eps=time_eps,
             denoise=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_print_steps_snapshots(self, no_cuda):
+        """Trajectory snapshots (`print_steps`) match the reference's
+        out_list element-for-element (diffusion_continuous.py:239-256 —
+        dead there, kept as a working debug surface here)."""
+        from ldt_tpu.diffusion.sampling import sample_discrete
+
+        n_steps, time_eps, print_steps = 10, 1e-3, 5
+        cfg = _cfg(sample_N=n_steps, train_N=100)
+        ref, mine = _ref_sde(cfg), make_diffusion(cfg)
+        rng = np.random.RandomState(3)
+        x0 = rng.randn(B, *SHAPE).astype(np.float32)
+        c = (rng.randn(B, *SHAPE) * 0.5).astype(np.float32)
+        self._pin_noise(no_cuda, x0, c)
+
+        def ref_score(t, x, label=None, condition=None):
+            p = 0.1 * torch.tanh(x)
+            return -p / ref.std(t)[:, None, None], p
+
+        def my_score(t, x, step=None):
+            p = 0.1 * jnp.tanh(x)
+            return -p / mine.std(t)[:, None, None], p
+
+        with torch.no_grad():
+            want = ref.sample_discrete(
+                ref_score, B, n_steps, "ancestral", None, 1, SHAPE,
+                time_eps, False, True, 0.01, "cpu",
+                print_steps=print_steps)
+        self._pin_noise(no_cuda, x0, c)
+        got = np.asarray(sample_discrete(
+            mine, my_score, jax.random.key(0), B, SHAPE, n_steps,
+            predictor="ancestral", time_eps=time_eps, denoise=True,
+            print_steps=print_steps))
+        assert got.shape[0] == len(want)
+        for k, w in enumerate(want):
+            np.testing.assert_allclose(got[k], w.numpy(), rtol=2e-4,
+                                       atol=2e-5, err_msg=f"snapshot {k}")
