@@ -49,6 +49,46 @@ from ldt_tpu.training.latent_sde_trainer import Trainer as LatentSDETrainer
 from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
 
 
+def hybrid_comp_loss(compressor, score, c_params, batch_stats, score_params,
+                     pts, label, k_s, t, var, e2int, weight_q, ce_const,
+                     eta, alpha, rec_fn=None):
+    """Joint compressor loss (reference Hybrid_Trainer.py:116-153):
+
+        comp_loss = rec + alpha * KL,
+        rec = CD + EMD on the VAE reconstruction,
+        KL  = mean(logqz - logpz) with
+        logpz = -(||eta - score(xt, t)||^2 * weight_q + ce_const),
+        xt = eps * e2int + sqrt(var) * eta.
+
+    Score params are held fixed in this term (the reference computes then
+    throws its score grads away, Hybrid_Trainer.py:157-159). Module-level so
+    the code-vs-code differential tests can drive the SAME composition with
+    pinned (t, eta) draws and a stub `rec_fn`; the training jit closes over
+    it with `rec_fn=None` (the real CD+EMD).
+    """
+    variables = {"params": c_params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    out, mutated = compressor.apply(
+        variables, pts, label=label, train=True,
+        rngs={"sample": k_s}, mutable=["batch_stats"])
+    recon = out["set"]
+    logqz = jnp.concatenate(out["all_logqz"], axis=-1)
+    eps = out["all_eps"]
+    xt = eps * e2int + jnp.sqrt(var) * eta
+    pred = score.apply(
+        {"params": jax.lax.stop_gradient(score_params)}, xt, t, label, None)
+    distance = jnp.square(eta - pred)
+    logpz = -(distance * weight_q + ce_const)
+    kl_loss = jnp.mean(logqz - logpz)
+    if rec_fn is None:
+        rec_loss = CD_loss(recon, pts) + EMD_loss(recon, pts)
+    else:
+        rec_loss = rec_fn(recon, pts)
+    comp_loss = rec_loss + kl_loss * alpha
+    return comp_loss, (kl_loss, rec_loss, eps, mutated.get("batch_stats"))
+
+
 class Trainer(LatentSDETrainer):
     """Extends the stage-2 trainer with the joint compressor update."""
 
@@ -123,28 +163,10 @@ class Trainer(LatentSDETrainer):
                 2.0 * jnp.pi * sde.var(jnp.asarray(time_eps))))
 
             def comp_loss_fn(c_params):
-                variables = {"params": c_params}
-                if comp_state.batch_stats is not None:
-                    variables["batch_stats"] = comp_state.batch_stats
-                out, mutated = compressor.apply(
-                    variables, pts, label=label, train=True,
-                    rngs={"sample": k_s}, mutable=["batch_stats"])
-                recon = out["set"]
-                logqz = jnp.concatenate(out["all_logqz"], axis=-1)
-                eps = out["all_eps"]
-                xt = eps * e2int + jnp.sqrt(var) * eta
-                # score params held fixed in this term (the reference throws
-                # its score grads away, Hybrid_Trainer.py:157-159)
-                pred = score.apply(
-                    {"params": jax.lax.stop_gradient(score_params)}, xt, t,
-                    label, None)
-                distance = jnp.square(eta - pred)
-                logpz = -(distance * weight_q + ce_const)
-                kl_loss = jnp.mean(logqz - logpz)
-                rec_loss = CD_loss(recon, pts) + EMD_loss(recon, pts)
-                comp_loss = rec_loss + kl_loss * alpha
-                return comp_loss, (kl_loss, rec_loss, eps,
-                                   mutated.get("batch_stats"))
+                return hybrid_comp_loss(
+                    compressor, score, c_params, comp_state.batch_stats,
+                    score_params, pts, label, k_s, t, var, e2int, weight_q,
+                    ce_const, eta, alpha)
 
             (c_loss, (kl_loss, rec_loss, eps, new_bs)), c_grads = \
                 jax.value_and_grad(comp_loss_fn, has_aux=True)(
