@@ -113,3 +113,59 @@ def test_jsd_matches_reference(clouds):
     want = em.jsd_between_point_cloud_sets(smp, ref, resolution=12)
     got = jsd_between_point_cloud_sets(smp, ref, resolution=12)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _completion_ref_module():
+    """Import the reference completion trainer (its F1Score /
+    L2_ChamferEval_1000 live at module scope,
+    completion_trainer/Latent_SDE_Trainer.py:41-53) with the CUDA-only
+    imports shimmed out."""
+    import types
+
+    for name in ("pointnet2_ops", "pointnet2_ops.pointnet2_utils"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    sys.modules["pointnet2_ops"].pointnet2_utils = \
+        sys.modules["pointnet2_ops.pointnet2_utils"]
+    sys.modules["pointnet2_ops.pointnet2_utils"].furthest_point_sample = None
+    if "mitsuba" not in sys.modules:
+        sys.modules["mitsuba"] = types.ModuleType("mitsuba")
+    if "torchdiffeq" not in sys.modules:
+        td = types.ModuleType("torchdiffeq")
+        td.odeint = None
+        sys.modules["torchdiffeq"] = td
+    import completion_trainer.Latent_SDE_Trainer as ct
+    return ct
+
+
+def test_completion_f1score_matches_reference(clouds):
+    """The reference's CPU fallback distChamfer returns SWAPPED directions
+    (see test_chamfer_matches_reference_fallback), so its precision_1/2
+    trade places; the f-score itself is symmetric in (p1, p2)."""
+    from ldt_tpu.eval.loss import F1Score
+
+    ct = _completion_ref_module()
+    smp, ref = clouds
+    want_f, want_p1, want_p2 = ct.F1Score(
+        torch.from_numpy(smp[:5]), torch.from_numpy(ref), threshold=0.1)
+    got_f, got_p1, got_p2 = F1Score(jnp.asarray(smp[:5]), jnp.asarray(ref),
+                                    threshold=0.1)
+    assert float(np.asarray(got_p1).max()) > 0, "degenerate threshold"
+    np.testing.assert_allclose(np.asarray(got_f), want_f.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_p1), want_p2.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_p2), want_p1.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_completion_cd1000_matches_reference(clouds):
+    from ldt_tpu.eval.loss import L2_ChamferEval_1000
+
+    ct = _completion_ref_module()
+    smp, ref = clouds
+    want = ct.L2_ChamferEval_1000(torch.from_numpy(smp[:5]),
+                                  torch.from_numpy(ref))
+    got = L2_ChamferEval_1000(jnp.asarray(smp[:5]), jnp.asarray(ref))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
