@@ -53,6 +53,27 @@ from ldt_tpu.training.checkpoint import (
 from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
 
 
+def score_objective(model, params, eps, t, var, e2int, weight, eta, label,
+                    condition, train, dropout_rng, loss_type):
+    """Stage-2 denoising objective (reference Latent_SDE_Trainer.py:127-135):
+
+        xt = eps * e2int_f(t) + sqrt(var(t)) * eta,
+        loss = mean(|eta - model(xt, t)|^p * weight),  p in {1, 2}.
+
+    Module-level so the code-vs-code differential tests can drive the SAME
+    expression with pinned (t, eta) draws; the training jits close over it.
+    """
+    xt = eps * e2int + jnp.sqrt(var) * eta
+    rngs = {"dropout": dropout_rng} if train else None
+    params_pred = model.apply({"params": params}, xt, t, label,
+                              condition, train=train, rngs=rngs)
+    if loss_type == "l1":
+        distance = jnp.abs(eta - params_pred)
+    else:
+        distance = jnp.square(eta - params_pred)
+    return jnp.mean(distance * weight)  # weight: [B,1,1] broadcast
+
+
 class Trainer(BaseTrainer):
     def __init__(self, cfg, model: Score, compressor: Compressor,
                  rng: Optional[jax.Array] = None, mesh=None):
@@ -153,15 +174,9 @@ class Trainer(BaseTrainer):
 
         def score_loss(params, eps, t, var, e2int, weight, eta, label,
                        condition, train, dropout_rng):
-            xt = eps * e2int + jnp.sqrt(var) * eta
-            rngs = {"dropout": dropout_rng} if train else None
-            params_pred = model.apply({"params": params}, xt, t, label,
-                                      condition, train=train, rngs=rngs)
-            if loss_type == "l1":
-                distance = jnp.abs(eta - params_pred)
-            else:
-                distance = jnp.square(eta - params_pred)
-            return jnp.mean(distance * weight)  # weight: [B,1,1] broadcast
+            return score_objective(model, params, eps, t, var, e2int, weight,
+                                   eta, label, condition, train, dropout_rng,
+                                   loss_type)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, eps, label, lr, base):
