@@ -38,6 +38,32 @@ from ldt_tpu.training.checkpoint import (
 from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
 
 
+def compressor_objective(model, params, batch_stats, pts, label, k_s,
+                         kl_weight, rec_fn=None):
+    """Stage-1 VAE objective (reference Compressor_Trainer.py:43-52):
+
+        loss = kl_weight * mean(cat(kls)) + (CD + EMD)(recon, pts).
+
+    Module-level so the code-vs-code differential tests can drive the SAME
+    composition with pinned draws and a stub `rec_fn`; the training jit
+    closes over it with `rec_fn=None` (the real CD+EMD).
+    """
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    out, mutated = model.apply(
+        variables, pts, label=label, train=True,
+        rngs={"sample": k_s}, mutable=["batch_stats"])
+    kl_loss = jnp.mean(jnp.concatenate(out["kls"], axis=1))
+    if rec_fn is None:
+        rec_loss = CD_loss(out["set"], pts) + EMD_loss(out["set"], pts)
+    else:
+        rec_loss = rec_fn(out["set"], pts)
+    loss = kl_weight * kl_loss + rec_loss
+    return loss, (kl_loss, rec_loss, out["max"],
+                  mutated.get("batch_stats"))
+
+
 class Trainer(BaseTrainer):
     def __init__(self, cfg, model: Compressor, rng: Optional[jax.Array] = None,
                  mesh=None):
@@ -73,19 +99,8 @@ class Trainer(BaseTrainer):
             rng = jax.random.fold_in(base, state.step)
 
             def loss_fn(params):
-                variables = {"params": params}
-                if state.batch_stats is not None:
-                    variables["batch_stats"] = state.batch_stats
-                out, mutated = model.apply(
-                    variables, pts, label=label, train=True,
-                    rngs={"sample": rng}, mutable=["batch_stats"])
-                kl_loss = jnp.mean(jnp.concatenate(out["kls"], axis=1))
-                emd = EMD_loss(out["set"], pts)
-                cd = CD_loss(out["set"], pts)
-                rec_loss = cd + emd
-                loss = kl_weight * kl_loss + rec_loss
-                return loss, (kl_loss, rec_loss, out["max"],
-                              mutated.get("batch_stats"))
+                return compressor_objective(model, params, state.batch_stats,
+                                            pts, label, rng, kl_weight)
 
             (loss, (kl_loss, rec_loss, max_f, new_bs)), grads = \
                 jax.value_and_grad(loss_fn, has_aux=True)(state.params)
