@@ -380,10 +380,15 @@ _PHASED = os.environ.get("LDT_ATTN_PHASED", "1") == "1"
 
 # Batch elements per PROGRAM in the phased self-attention forward
 # (`_fwd_kernel_packed_phased_multi`); 1 = one element per program.
-# Experimental knob: E>1 amortizes per-program overhead and gives the
-# static scheduler E x more independent matmul chains (see kernel
-# docstring); bench before shipping a non-default.
-_ELEMS = int(os.environ.get("LDT_ATTN_ELEMS", "1"))
+# E>1 amortizes per-program overhead and gives the static scheduler E x
+# more independent matmul chains (see kernel docstring). DEFAULT 4:
+# measured 726.5 clouds/min/chip vs 707.9 (E=2) / 669 (E=1) on the
+# flagship int8 serving bench (v5e, round 3). Numerics-identical (same
+# math, batched schedule; oracle-tested per-E in
+# tests/test_pallas_attention.py). Batches not divisible by E fall back
+# to the single-element phased kernel. Cost: the E=4 program compiles
+# several minutes slower over the remote-compile transport.
+_ELEMS = int(os.environ.get("LDT_ATTN_ELEMS", "4"))
 
 # Phase-separated packed BACKWARD (`_bwd_kernel_packed_phased`) — same
 # schedule applied to the training-step bwd (profiled at 445 us/block,

@@ -131,7 +131,9 @@ def render_3D(path: str, sample: np.ndarray, name: str = "smp",
             mi.set_variant("scalar_rgb")
             img = mi.render(mi.load_file(xml_path))
             mi.util.write_bitmap(png_path, img)
-        except ImportError:
+        except (ImportError, AttributeError):
+            # AttributeError: a bare `mitsuba` stub may sit in sys.modules
+            # (the reference shims inject one); fall back like no-mitsuba.
             try:
                 _render_matplotlib(sample[i], png_path)
             except ImportError:
