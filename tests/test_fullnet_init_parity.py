@@ -23,7 +23,11 @@ if REF not in sys.path:
 
 def _install_reference_shims():
     """Greedy torch FPS for pointnet2_ops + ignore .to('cuda')."""
-    if "pointnet2_ops" not in sys.modules:
+    # install when absent OR when another module left a non-functional
+    # import-only stub (e.g. test_metric_parity's) under the same name
+    existing = sys.modules.get("pointnet2_ops.pointnet2_utils")
+    if existing is None or not callable(
+            getattr(existing, "furthest_point_sample", None)):
         def fps(xyz, npoint):
             B, N, _ = xyz.shape
             idx = torch.zeros(B, npoint, dtype=torch.int32)
@@ -37,12 +41,17 @@ def _install_reference_shims():
                 farthest = dist.argmax(-1)
             return idx
 
-        mod = types.ModuleType("pointnet2_ops")
-        sub = types.ModuleType("pointnet2_ops.pointnet2_utils")
+        if existing is None:
+            mod = types.ModuleType("pointnet2_ops")
+            sub = types.ModuleType("pointnet2_ops.pointnet2_utils")
+            mod.pointnet2_utils = sub
+            sys.modules["pointnet2_ops"] = mod
+            sys.modules["pointnet2_ops.pointnet2_utils"] = sub
+        else:
+            # patch the EXISTING module object in place: reference modules
+            # may already hold a binding to it from a prior import
+            sub = existing
         sub.furthest_point_sample = fps
-        mod.pointnet2_utils = sub
-        sys.modules["pointnet2_ops"] = mod
-        sys.modules["pointnet2_ops.pointnet2_utils"] = sub
     if not getattr(torch.Tensor.to, "_ldt_shim", False):
         orig_to = torch.Tensor.to
 

@@ -122,13 +122,19 @@ def _completion_ref_module():
     imports shimmed out."""
     import types
 
+    fresh = "pointnet2_ops" not in sys.modules
     for name in ("pointnet2_ops", "pointnet2_ops.pointnet2_utils"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
             sys.modules[name] = mod
     sys.modules["pointnet2_ops"].pointnet2_utils = \
         sys.modules["pointnet2_ops.pointnet2_utils"]
-    sys.modules["pointnet2_ops.pointnet2_utils"].furthest_point_sample = None
+    if fresh:
+        # only the IMPORT must succeed here; but other test modules install
+        # a FUNCTIONAL greedy-FPS shim under the same name — don't clobber
+        # it (full-suite ordering poisons their reference runs otherwise).
+        sys.modules["pointnet2_ops.pointnet2_utils"].furthest_point_sample = \
+            None
     if "mitsuba" not in sys.modules:
         sys.modules["mitsuba"] = types.ModuleType("mitsuba")
     if "torchdiffeq" not in sys.modules:
