@@ -341,21 +341,69 @@ def unit_cube_grid_point_cloud(resolution: int, clip_sphere: bool = False):
     return grid, spacing
 
 
+@functools.partial(jax.jit, static_argnames=("n_cells", "tile"))
+def _occupancy_counts(pclouds, grid, *, n_cells: int, tile: int = 4096):
+    """Per-cloud occupancy counts on a fixed cell grid, jitted.
+
+    For every point, the nearest grid cell:
+    ``argmin_g |p - g|^2 = argmin_g (|g|^2 - 2 p.g)`` — the |p|^2 term is
+    constant per point and dropped, so each grid tile is one MXU matmul
+    instead of the reference's per-cloud [N, n_cells] numpy distance matrix
+    (evaluation_metrics.py:359-398). Tiled over the grid axis with a
+    `lax.scan` running (best_d, best_i) so peak memory is
+    [B, N, tile] rather than [B, N, n_cells]; first-minimum tie-breaking
+    matches numpy argmin (strict < update, tiles scanned in order).
+    Returns per-cloud cell counts [B, n_cells] (float32).
+    """
+    b, n, _ = pclouds.shape
+    pad = (-n_cells) % tile
+    gsq = jnp.concatenate(
+        [jnp.sum(grid * grid, axis=-1),
+         jnp.full((pad,), jnp.inf, grid.dtype)])
+    gpad = jnp.concatenate([grid, jnp.zeros((pad, 3), grid.dtype)])
+    tiles_g = gpad.reshape(-1, tile, 3)
+    tiles_sq = gsq.reshape(-1, tile)
+
+    def step(carry, gt):
+        best_d, best_i, off = carry
+        g, sq = gt
+        d = sq[None, None, :] - 2.0 * jnp.einsum(
+            "bnd,gd->bng", pclouds, g, preferred_element_type=jnp.float32)
+        i = jnp.argmin(d, axis=-1)
+        dmin = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
+        upd = dmin < best_d
+        best_d = jnp.where(upd, dmin, best_d)
+        best_i = jnp.where(upd, i + off, best_i)
+        return (best_d, best_i, off + tile), None
+
+    init = (jnp.full((b, n), jnp.inf, jnp.float32),
+            jnp.zeros((b, n), jnp.int32), jnp.int32(0))
+    (_, idx, _), _ = jax.lax.scan(step, init, (tiles_g, tiles_sq))
+    counts = jax.vmap(
+        lambda i: jnp.zeros(n_cells, jnp.float32).at[i].add(1.0))(idx)
+    return counts
+
+
 def entropy_of_occupancy_grid(pclouds, grid_resolution: int,
                               in_sphere: bool = False):
-    """Occupancy-grid entropy (evaluation_metrics.py:359-398), vectorized."""
-    pclouds = np.asarray(pclouds)
+    """Occupancy-grid entropy (evaluation_metrics.py:359-398), vectorized.
+
+    The nearest-cell assignment runs as one jitted tiled computation per
+    chunk of clouds (`_occupancy_counts`) instead of the reference's
+    per-cloud host loop; the entropy reduction stays numpy (tiny)."""
+    pclouds = np.asarray(pclouds, np.float32)
     grid, _ = unit_cube_grid_point_cloud(grid_resolution, in_sphere)
-    grid = grid.reshape(-1, 3)
-    # nearest grid cell per point, batched over clouds
+    grid = np.asarray(grid.reshape(-1, 3), np.float32)
     n_cells = grid.shape[0]
     grid_counters = np.zeros(n_cells)
     grid_bernoulli = np.zeros(n_cells)
-    for pc in pclouds:
-        d = ((pc[:, None, :] - grid[None, :, :]) ** 2).sum(-1)
-        idx = d.argmin(axis=1)
-        np.add.at(grid_counters, idx, 1)
-        grid_bernoulli[np.unique(idx)] += 1
+    grid_dev = jnp.asarray(grid)
+    chunk = 32
+    for s in range(0, len(pclouds), chunk):
+        counts = np.asarray(_occupancy_counts(
+            jnp.asarray(pclouds[s:s + chunk]), grid_dev, n_cells=n_cells))
+        grid_counters += counts.sum(axis=0)
+        grid_bernoulli += (counts > 0).sum(axis=0)
 
     def bernoulli_entropy(p):
         q = 1.0 - p

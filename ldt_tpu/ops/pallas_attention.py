@@ -387,7 +387,13 @@ _PHASED = os.environ.get("LDT_ATTN_PHASED", "1") == "1"
 # math, batched schedule; oracle-tested per-E in
 # tests/test_pallas_attention.py). Batches not divisible by E fall back
 # to the single-element phased kernel. Cost: the E=4 program compiles
-# several minutes slower over the remote-compile transport.
+# several minutes slower over the remote-compile transport — and since
+# this forward kernel is SHARED with the train step, that compile cost
+# applies to training runs too, not just the serving bench. Note for
+# baseline reproduction: the documented 474 clouds/min bf16-exact number
+# was measured at E=1, so reproducing it needs LDT_ATTN_ELEMS=1 in
+# addition to LDT_BENCH_INT8=0 (same-session E-sweep under int8:
+# E=1 667.9 / E=2 707.9 / E=4 726.5).
 _ELEMS = int(os.environ.get("LDT_ATTN_ELEMS", "4"))
 
 # Phase-separated packed BACKWARD (`_bwd_kernel_packed_phased`) — same

@@ -11,6 +11,7 @@ be rendered elsewhere.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -128,13 +129,25 @@ def render_3D(path: str, sample: np.ndarray, name: str = "smp",
         try:
             import mitsuba as mi  # pragma: no cover - not in this image
 
+            if not hasattr(mi, "set_variant"):
+                # a bare `mitsuba` stub may sit in sys.modules (the
+                # reference shims inject one); treat it as no-mitsuba
+                # WITHOUT swallowing API errors from a real install.
+                raise ImportError("bare mitsuba stub in sys.modules")
             mi.set_variant("scalar_rgb")
             img = mi.render(mi.load_file(xml_path))
             mi.util.write_bitmap(png_path, img)
-        except (ImportError, AttributeError):
-            # AttributeError: a bare `mitsuba` stub may sit in sys.modules
-            # (the reference shims inject one); fall back like no-mitsuba.
+        except ImportError:
             try:
                 _render_matplotlib(sample[i], png_path)
             except ImportError:
                 pass  # XML written; no renderer available
+        except AttributeError as e:  # pragma: no cover - real-mitsuba only
+            # a REAL mitsuba whose API moved (e.g. util.write_bitmap):
+            # degrade to matplotlib but say so instead of hiding it.
+            warnings.warn(f"mitsuba render failed ({e}); falling back to "
+                          "matplotlib", RuntimeWarning)
+            try:
+                _render_matplotlib(sample[i], png_path)
+            except ImportError:
+                pass

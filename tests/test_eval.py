@@ -155,6 +155,29 @@ class TestJSD:
         b = np.full((2, 32, 3), 0.4, np.float32)
         assert jsd_between_point_cloud_sets(a, b, resolution=12) > 0.5
 
+    def test_occupancy_counts_match_numpy_loop_full_resolution(self):
+        """The jitted tiled argmin must reproduce the per-cloud numpy loop
+        it replaced (reference evaluation_metrics.py:359-398) at the real
+        resolution-28 in-sphere grid, counters AND bernoulli occupancy."""
+        from ldt_tpu.eval.metrics import (
+            entropy_of_occupancy_grid,
+            unit_cube_grid_point_cloud,
+        )
+
+        rng = np.random.RandomState(7)
+        pc = rng.randn(5, 256, 3).astype(np.float32)
+        pc /= np.linalg.norm(pc, axis=-1).max() * 1.05  # inside unit sphere
+        ent, counters = entropy_of_occupancy_grid(pc, 28, True)
+
+        grid, _ = unit_cube_grid_point_cloud(28, True)
+        grid = grid.reshape(-1, 3)
+        want = np.zeros(grid.shape[0])
+        for cloud in pc:
+            d = ((cloud[:, None, :] - grid[None, :, :]) ** 2).sum(-1)
+            np.add.at(want, d.argmin(axis=1), 1)
+        np.testing.assert_array_equal(counters, want)
+        assert ent > 0
+
 
 class TestFixedTileShapes:
     """Remainder blocks must NOT change the jitted tile shape: on the TPU
