@@ -230,6 +230,77 @@ class TestTensorParallel:
         out2 = jax.jit(sp_shard)(jnp.ones((8, 64, 16)))
         assert np.asarray(out2).sum() == 8 * 64 * 16
 
+    def test_tp_serving_gate_takes_xla_fallback(self, tmp_path, monkeypatch):
+        """The TP-serving cliff, bounded structurally (VERDICT r3 #8):
+        with a model axis the trainer must rebuild its nets WITHOUT the
+        Pallas attention core (GSPMD replicates the custom call instead of
+        partitioning it) and with one axis it must take the fused core on
+        TPU. The gate reads jax.default_backend() — simulate TPU."""
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.training import latent_sde_trainer
+        from tests.test_training import make_cfg
+
+        monkeypatch.setattr(latent_sde_trainer.jax, "default_backend",
+                            lambda: "tpu")
+        cfg = self._cfg(tmp_path)  # model_parallel=2
+        tr = latent_sde_trainer.Trainer(cfg, Score(cfg.score),
+                                        Compressor(cfg.compressor))
+        assert tr.model.fused_attention is False
+        assert tr.compressor.fused_attention is False
+
+        cfg1 = make_cfg(tmp_path / "mp1")
+        tr1 = latent_sde_trainer.Trainer(cfg1, Score(cfg1.score),
+                                         Compressor(cfg1.compressor))
+        assert tr1.model.fused_attention is True
+        assert tr1.compressor.fused_attention is True
+
+    def test_sp_decode_collective_count_bounded(self, tmp_path):
+        """The SP decode must stay ~local: per-point cross-attention/MLP
+        partitioned over `model`, with only a handful of collectives
+        (latent KV replication + the output all-gather). A regression that
+        loses the sharding constraints shows up here as a collective for
+        every per-point op (VERDICT r3 #8)."""
+        import re
+
+        from ldt_tpu.models import Compressor
+        from ldt_tpu.parallel.sp import set_sp_mesh
+        from ldt_tpu.parallel.tp import make_mesh
+        from tests.test_training import N_PTS, make_cfg
+
+        cfg = make_cfg(tmp_path)
+        comp = Compressor(cfg.compressor)
+        ccfg = cfg.compressor
+        pts = jnp.zeros((4, N_PTS, 3), jnp.float32)
+        variables = jax.jit(comp.init)(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, pts)
+        eps = jnp.zeros((4, ccfg.z_scales, ccfg.n_layers * ccfg.z_dim))
+
+        def decode(comp_vars, eps):
+            return comp.apply(comp_vars, (4, N_PTS), eps,
+                              method=Compressor.sample)
+
+        mesh = make_mesh(2)
+        set_sp_mesh(mesh)
+        try:
+            with mesh:
+                compiled = jax.jit(decode).lower(variables, eps).compile()
+                out = jax.jit(decode)(variables, eps)
+        finally:
+            set_sp_mesh(None)
+        hlo = compiled.as_text()
+        colls = re.findall(
+            r"\b(all-gather|all-reduce|collective-permute|all-to-all)\b",
+            hlo)
+        # The decode is per-point-local: the ideal compilation has ZERO
+        # collectives (output returned still sharded; latents replicated at
+        # entry). Bound generous for XLA-version drift; the regression this
+        # guards (dropped SP constraints) replicates the whole set instead.
+        assert len(colls) <= 12, (len(colls), sorted(set(colls)))
+        # ...and "zero collectives" must mean "partitioned", not "gave up
+        # and replicated": the decoded set comes back sharded over the mesh.
+        assert "model" in str(out.sharding.spec), out.sharding
+        assert len(out.sharding.device_set) == 8
+
     def test_tp_matches_single_device_loss(self, tmp_path):
         """Same rng + data: TP-sharded train step computes the same loss as
         the replicated one (GSPMD partitioning must not change the math)."""
