@@ -20,6 +20,8 @@
 from __future__ import annotations
 
 import functools
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,49 +35,144 @@ from ldt_tpu.ops.geometry import square_distance
 # ---------------------------------------------------------------------------
 
 
-def _auction_single(x: jax.Array, y: jax.Array, eps: float, iters: int):
+# Compact-phase geometry (round-4). In the regime the training loss runs in
+# (decoded cloud vs its own target), the unassigned-row count collapses
+# within a handful of Jacobi rounds (measured: 2048 -> 484 -> 93 -> 24 at
+# recon noise 0.02; see docs/emd_operating_point.md) — after which a dense
+# round burns a full [N, N] pass to serve <128 bidders. The two-phase
+# auction below runs dense rounds only while more than `_COMPACT_ENTER`
+# rows are unassigned, then switches to rounds over a gathered
+# [_COMPACT_TILE, N] row block. A compact round is EXACTLY a dense round
+# whenever every unassigned row fits in the tile (assigned rows never
+# bid) — and that holds for the WHOLE compact phase, unconditionally: the
+# unassigned count is non-increasing (each winning bid assigns one row and
+# displaces at most one previous owner; failed bidders stay unassigned),
+# so once U <= tile it can never grow past it.
+_COMPACT_TILE = 256
+_COMPACT_ENTER = 256
+
+
+def _row_assigned(owner: jax.Array, n: int) -> jax.Array:
+    return (
+        jnp.zeros((n,), jnp.int32).at[jnp.clip(owner, 0)].max(
+            (owner >= 0).astype(jnp.int32)
+        )
+        > 0
+    )
+
+
+def _dense_round(d, owner, price, eps, neg_inf):
+    """One Jacobi auction round, every unassigned row bids (round-2 math,
+    unchanged: top-2 via two max-reductions, NOT lax.top_k — XLA lowers
+    top_k as a sort, measured 26 ms/round on v5e at N=2048)."""
+    n = d.shape[0]
+    row_assigned = _row_assigned(owner, n)
+    value = -(d + price[None, :])  # [N, N]
+    best_j = jnp.argmax(value, axis=1).astype(jnp.int32)
+    is_best = jnp.arange(n, dtype=jnp.int32)[None, :] == best_j[:, None]
+    best_v = jnp.max(value, axis=1)
+    second_v = jnp.max(jnp.where(is_best, neg_inf, value), axis=1)
+    incr = best_v - second_v + eps
+    bid = jnp.where(
+        is_best & (~row_assigned)[:, None],
+        incr[:, None],
+        neg_inf,
+    )  # [N rows, N cols]
+    col_max = jnp.max(bid, axis=0)
+    col_winner = jnp.argmax(bid, axis=0).astype(jnp.int32)
+    has_bid = col_max > neg_inf
+    owner = jnp.where(has_bid, col_winner, owner)
+    price = jnp.where(has_bid, price + col_max, price)
+    return owner, price
+
+
+def _compact_round(d, owner, price, eps, neg_inf, tile: int):
+    """The same Jacobi update restricted to the first `tile` unassigned rows
+    (cumsum-compacted gather — no sort). Bitwise-identical to `_dense_round`
+    when all unassigned rows fit in the tile: assigned rows contribute no
+    bids there, argmax tie-breaks pick the smallest row index in both."""
+    n = d.shape[0]
+    unassigned = ~_row_assigned(owner, n)
+    rank = jnp.cumsum(unassigned.astype(jnp.int32)) - 1
+    dest = jnp.where(unassigned & (rank < tile), rank, tile)  # tile = dump
+    slots = jnp.full((tile + 1,), n, jnp.int32).at[dest].min(
+        jnp.arange(n, dtype=jnp.int32))
+    idx = slots[:tile]                      # ascending row ids, n = padding
+    valid = idx < n
+    idx_c = jnp.minimum(idx, n - 1)
+    dg = jnp.take(d, idx_c, axis=0)         # [tile, N]
+    value = -(dg + price[None, :])
+    best_j = jnp.argmax(value, axis=1).astype(jnp.int32)
+    is_best = jnp.arange(n, dtype=jnp.int32)[None, :] == best_j[:, None]
+    best_v = jnp.max(value, axis=1)
+    second_v = jnp.max(jnp.where(is_best, neg_inf, value), axis=1)
+    incr = best_v - second_v + eps
+    bid = jnp.where(is_best & valid[:, None], incr[:, None], neg_inf)
+    col_max = jnp.max(bid, axis=0)
+    col_winner = idx_c[jnp.argmax(bid, axis=0)]
+    has_bid = col_max > neg_inf
+    owner = jnp.where(has_bid, col_winner, owner)
+    price = jnp.where(has_bid, price + col_max, price)
+    return owner, price
+
+
+def _auction_single(x: jax.Array, y: jax.Array, eps: float, iters: int,
+                    compact: bool = True, tile: int = _COMPACT_TILE,
+                    enter: int = _COMPACT_ENTER):
     """Parallel auction for one cloud pair `[N, 3]` x `[N, 3]`.
 
     Maintains column ownership (`owner[j]` = row assigned to column j, -1 if
     free) and prices. Each round, every unassigned row bids for its best column
     with increment (best - second + eps); each column takes its max bidder.
+
+    With `compact=True` (default) the fixed `iters`-round Jacobi schedule is
+    split into dense rounds while > `enter` rows are unassigned, then
+    [tile, N] compacted rounds, and stops early once the assignment is a
+    bijection — all three transformations preserve the exact fixed-iters
+    result (converged rounds are no-ops: no unassigned rows => no bids =>
+    the (owner, price) state is a fixpoint). Total rounds never exceed
+    `iters`. Under vmap each batch element advances/freezes independently
+    (lax.while_loop batching), so the wall-clock is the per-phase max over
+    the batch, not B x 50 dense rounds.
     """
     n = x.shape[0]
     d = jnp.maximum(square_distance(x[None], y[None])[0], 0.0)  # [N, N]
     neg_inf = jnp.finfo(d.dtype).min
-
-    def body(state, _):
-        owner, price = state
-        row_assigned = (
-            jnp.zeros((n,), jnp.int32).at[jnp.clip(owner, 0)].max(
-                (owner >= 0).astype(jnp.int32)
-            )
-            > 0
-        )
-        value = -(d + price[None, :])  # [N, N]
-        # top-2 via two max-reductions, NOT lax.top_k: XLA lowers top_k as a
-        # sort, which measured 26 ms/round on v5e at N=2048 (91% of the whole
-        # stage-1 train step); max + masked second max is ~10x cheaper
-        best_j = jnp.argmax(value, axis=1).astype(jnp.int32)
-        is_best = jnp.arange(n, dtype=jnp.int32)[None, :] == best_j[:, None]
-        best_v = jnp.max(value, axis=1)
-        second_v = jnp.max(jnp.where(is_best, neg_inf, value), axis=1)
-        incr = best_v - second_v + eps
-        bid = jnp.where(
-            is_best & (~row_assigned)[:, None],
-            incr[:, None],
-            neg_inf,
-        )  # [N rows, N cols]
-        col_max = jnp.max(bid, axis=0)
-        col_winner = jnp.argmax(bid, axis=0).astype(jnp.int32)
-        has_bid = col_max > neg_inf
-        owner = jnp.where(has_bid, col_winner, owner)
-        price = jnp.where(has_bid, price + col_max, price)
-        return (owner, price), None
-
     owner0 = jnp.full((n,), -1, jnp.int32)
     price0 = jnp.zeros((n,), d.dtype)
-    (owner, _), _ = lax.scan(body, (owner0, price0), None, length=iters)
+
+    if not compact:
+        def body(state, _):
+            owner, price = state
+            return _dense_round(d, owner, price, eps, neg_inf), None
+
+        (owner, _), _ = lax.scan(body, (owner0, price0), None, length=iters)
+    else:
+        def n_unassigned(owner):
+            return n - jnp.sum((owner >= 0).astype(jnp.int32))
+
+        def dense_cond(state):
+            i, owner, _ = state
+            return (i < iters) & (n_unassigned(owner) > enter)
+
+        def dense_body(state):
+            i, owner, price = state
+            owner, price = _dense_round(d, owner, price, eps, neg_inf)
+            return i + 1, owner, price
+
+        def compact_cond(state):
+            i, owner, _ = state
+            return (i < iters) & (n_unassigned(owner) > 0)
+
+        def compact_body(state):
+            i, owner, price = state
+            owner, price = _compact_round(d, owner, price, eps, neg_inf,
+                                          tile)
+            return i + 1, owner, price
+
+        state = (jnp.int32(0), owner0, price0)
+        state = lax.while_loop(dense_cond, dense_body, state)
+        _, owner, _ = lax.while_loop(compact_cond, compact_body, state)
 
     # Rows -> columns. Unconverged rows fall back to their nearest column (the
     # CUDA kernel likewise does not guarantee a bijection after fixed iters).
@@ -87,9 +184,9 @@ def _auction_single(x: jax.Array, y: jax.Array, eps: float, iters: int):
     return jnp.where(assignment >= 0, assignment, nearest)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "compact"))
 def auction_emd(x: jax.Array, y: jax.Array, eps: float = 0.005,
-                iters: int = 50):
+                iters: int = 50, compact: Optional[bool] = None):
     """Approximate 1-to-1 assignment EMD.
 
     Args:
@@ -97,13 +194,20 @@ def auction_emd(x: jax.Array, y: jax.Array, eps: float = 0.005,
       y: `[B, N, 3]` targets (treated as constants, like the CUDA backward).
       eps: bid increment slack (reference uses 0.005 for the loss).
       iters: auction rounds (reference uses 50).
+      compact: two-phase dense->compacted rounds with early exit (see
+        `_auction_single`; result-identical, ~4x less work in the training
+        regime). Default: on, `LDT_EMD_COMPACT=0` restores the round-2
+        dense 50-round scan.
     Returns:
       (dist `[B, N]` squared distances to assigned target,
        assignment `[B, N]` int32) — the `emdModule` contract
       (reference evaluation/emd.py:29-59).
     """
+    if compact is None:
+        compact = os.environ.get("LDT_EMD_COMPACT", "1") == "1"
     assignment = lax.stop_gradient(
-        jax.vmap(lambda a, b: _auction_single(a, b, eps, iters))(x, y)
+        jax.vmap(lambda a, b: _auction_single(a, b, eps, iters, compact))(
+            x, y)
     )
     matched = lax.stop_gradient(
         jnp.take_along_axis(y, assignment[..., None], axis=1)

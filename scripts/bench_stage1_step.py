@@ -36,6 +36,15 @@ def main():
                     help="trace dir: profile the steady update loop and "
                          "print per-op device self-times")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--restore", type=int, default=None,
+                    help="resume the trainer from this checkpoint epoch so "
+                         "the step runs in the TRAINED regime (the auction-"
+                         "EMD compact phase only engages when recon is "
+                         "close to target — random-init measurements stay "
+                         "in the dense phase)")
+    ap.add_argument("--real", action="store_true",
+                    help="use a real batch from the experiment's dataset "
+                         "instead of rng.randn clouds")
     args = ap.parse_args()
 
     import numpy as np
@@ -54,14 +63,28 @@ def main():
     b = cfg.data.batch_size
     n = cfg.data.tr_max_sample_points
     rng = np.random.RandomState(0)
-    batch = {"tr_points": rng.randn(b, n, 3).astype(np.float32),
-             "cate_idx": np.zeros((b,), np.int32)}
+    if args.real:
+        from ldt_tpu.data import get_data_loaders
+
+        loaders = get_data_loaders(cfg.data)
+        data = next(iter(loaders["train_loader"]))
+        batch = {"tr_points": np.asarray(data["tr_points"])[:b],
+                 "cate_idx": np.asarray(data["cate_idx"])[:b]}
+        print(f"[stage1] real batch from {cfg.data.data_dir}")
+    else:
+        batch = {"tr_points": rng.randn(b, n, 3).astype(np.float32),
+                 "cate_idx": np.zeros((b,), np.int32)}
 
     trainer = Trainer(cfg, model=Compressor(cfg.model),
                       rng=jax.random.key(0))
     t0 = time.perf_counter()
     trainer.maybe_init(batch)
     print(f"[stage1] init: {time.perf_counter() - t0:.1f} s")
+    if args.restore is not None:
+        cfg.log.save_path = args.exp
+        trainer.resume(epoch=args.restore, finetune=False, strict=True,
+                       load_optim=True)
+        print(f"[stage1] restored epoch {args.restore}")
 
     # shard exactly like trainer.update() (compressor_trainer.py:146-150)
     pts, label = shard_inputs(trainer, jnp.asarray(batch["tr_points"]),

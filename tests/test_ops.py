@@ -144,6 +144,39 @@ def test_auction_emd_vs_hungarian(rng):
     assert abs(got50 - opt) <= opt * 0.10
 
 
+def test_auction_emd_compact_matches_dense(rng):
+    """The two-phase compact auction (round-4 default) must reproduce the
+    round-2 dense 50-round scan EXACTLY — converged rounds are fixpoints,
+    and a compact round equals a dense round when the tile covers every
+    unassigned row. Covers the training regime (near-identity pairs), a
+    mixed-noise batch, and the adversarial independent-cloud regime (which
+    never leaves the dense phase)."""
+    from ldt_tpu.ops.emd import _auction_single
+
+    n = 128
+    x = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
+    y = np.stack([
+        x[0] + 0.01 * rng.normal(size=(n, 3)).astype(np.float32),
+        x[1] + 0.08 * rng.normal(size=(n, 3)).astype(np.float32),
+        rng.uniform(0, 1, size=(n, 3)).astype(np.float32),  # independent
+    ])
+    d_dense, a_dense = ops.auction_emd(jnp.asarray(x), jnp.asarray(y),
+                                       iters=50, compact=False)
+    d_comp, a_comp = ops.auction_emd(jnp.asarray(x), jnp.asarray(y),
+                                     iters=50, compact=True)
+    np.testing.assert_array_equal(np.asarray(a_dense), np.asarray(a_comp))
+    np.testing.assert_array_equal(np.asarray(d_dense), np.asarray(d_comp))
+
+    # single-pair path with test-scaled tile/enter (tile smaller than N)
+    for noise in (0.005, 0.05):
+        yy = x[0] + noise * rng.normal(size=(n, 3)).astype(np.float32)
+        want = _auction_single(jnp.asarray(x[0]), jnp.asarray(yy), 0.005, 50,
+                               compact=False)
+        got = _auction_single(jnp.asarray(x[0]), jnp.asarray(yy), 0.005, 50,
+                              compact=True, tile=32, enter=16)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_auction_emd_identity(rng):
     x = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
     dist, assign = ops.auction_emd(jnp.asarray(x), jnp.asarray(x), iters=60)
