@@ -270,6 +270,54 @@ def _approx_match_single(x1: jax.Array, x2: jax.Array) -> jax.Array:
     return match
 
 
+def _approx_match_cost_single(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Cost-only approx match: same 9-level annealing as
+    `_approx_match_single` but accumulating `sum(delta * dist)` per level
+    instead of materializing the `match` accumulator.
+
+    HBM-traffic restructure (round-4, eval path only): the metric
+    (`match_cost`, approxmatch.cu:184-215) consumes ONLY the scalar cost,
+    yet the matrix form reads+writes a [N, M] `match` and a [N, M] `delta`
+    every level — 4 full-matrix passes of pure accumulator traffic. All
+    per-level updates have matvec forms:
+      row_drain_i = ratio_l_i * (w @ ratio_r)_i      (= delta.sum(1))
+      cost_delta  = ratio_l @ ((w * dist) @ ratio_r) (= sum(delta * dist))
+    so only `w` (and the fused w*dist pass) touches [N, M]. NOTE this is
+    NOT the round-2 "matrix-free" negative result (which de-materialized
+    `w` itself and lost to XLA re-fusing exp per consumer) — `w` stays
+    materialized once per level; only the match/delta accumulators go.
+    Bitwise: reduction orders differ from the matrix form at f32 rounding;
+    the differential test pins them to each other at 1e-5.
+    """
+    n, m = x1.shape[0], x2.shape[0]
+    d = jnp.maximum(square_distance(x1[None], x2[None])[0], 0.0)
+    dist = jnp.sqrt(jnp.maximum(d, 1e-20))
+    multi_l = jnp.asarray(max(1, m // n), d.dtype)
+    multi_r = jnp.asarray(max(1, n // m), d.dtype)
+    levels = jnp.asarray([-(4.0**j) for j in range(7, -2, -1)], d.dtype)
+
+    def body(state, level):
+        cost, remain_l, remain_r = state
+        w = jnp.exp(level * d)  # [N, M], materialized once per level
+        suml = 1e-9 + w @ remain_r
+        ratio_l = remain_l / suml
+        sumr = (ratio_l @ w) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        cost = cost + ratio_l @ ((w * dist) @ ratio_r)
+        remain_l = jnp.maximum(0.0, remain_l - ratio_l * (w @ ratio_r))
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        return (cost, remain_l, remain_r), None
+
+    init = (
+        jnp.zeros((), d.dtype),
+        jnp.full((n,), multi_l, d.dtype),
+        jnp.full((m,), multi_r, d.dtype),
+    )
+    (cost, _, _), _ = lax.scan(body, init, levels)
+    return cost
+
+
 @jax.jit
 def approx_match_cost(x1: jax.Array, x2: jax.Array) -> jax.Array:
     """Total transport cost sum(match * ||x1-x2||), per batch element.
@@ -282,12 +330,7 @@ def approx_match_cost(x1: jax.Array, x2: jax.Array) -> jax.Array:
     Returns:
       `[B]` costs (divide by N for the reference's `emd_approx_cuda`).
     """
-    def one(a, b):
-        match = _approx_match_single(a, b)
-        dist = jnp.sqrt(jnp.maximum(square_distance(a[None], b[None])[0], 1e-20))
-        return jnp.sum(match * dist)
-
-    return jax.vmap(one)(x1, x2)
+    return jax.vmap(_approx_match_cost_single)(x1, x2)
 
 
 def emd_approx(sample: jax.Array, ref: jax.Array) -> jax.Array:

@@ -250,6 +250,65 @@ def _fwd_kernel_packed_phased_multi(qkv_ref, o_ref, s_scratch, *,
                 preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _fwd_kernel_packed_phased_multi_int8(qkv_ref, o_ref, s_scratch, *,
+                                         num_heads: int, elems: int):
+    """int8-operand variant of `_fwd_kernel_packed_phased_multi`
+    (VERDICT r3 #2): QK^T and AV run as int8 x int8 -> int32 MXU dots,
+    softmax/accumulation stay f32.
+
+    Quantization scheme (gated by scripts/int8_golden_gate.py like the
+    serving GEMMs, reference math model/layers.py:183-200):
+      * q, k, v: one symmetric per-program dynamic scale each
+        (max|.| / 127 over the whole [E*N, D] operand block), quantized
+        per-head-slice at use so only f32/bf16 values are lane-sliced
+        (int8 sub-128-lane slice alignment is the risky Mosaic case);
+      * scores: int32 dot * (sq*sk/127^2 * dh^-0.5) -> f32 scratch;
+      * attention weights: in [0,1] by construction -> STATIC scale 127
+        (w8 = round(w*127)), no reduction needed;
+      * output: int32 dot * (sv/127) -> o dtype.
+    Enabled with LDT_ATTN_INT8=1 (default off until golden-gated on TPU).
+    """
+    e_, n, d3 = qkv_ref.shape
+    d = d3 // 3
+    h = num_heads
+    dh = d // h
+    x = qkv_ref[...].reshape(e_ * n, d3)
+    scale = dh ** -0.5
+
+    xf = x.astype(jnp.float32)
+    sq = jnp.max(jnp.abs(xf[:, :d])) / 127.0 + 1e-20
+    sk = jnp.max(jnp.abs(xf[:, d:2 * d])) / 127.0 + 1e-20
+    sv = jnp.max(jnp.abs(xf[:, 2 * d:])) / 127.0 + 1e-20
+
+    def q8(sl, s):
+        return jnp.clip(jnp.round(sl.astype(jnp.float32) / s),
+                        -127.0, 127.0).astype(jnp.int8)
+
+    for e in range(elems):
+        rs = slice(e * n, (e + 1) * n)
+        for i in range(h):
+            qi = q8(x[rs, i * dh:(i + 1) * dh], sq)
+            ki = q8(x[rs, d + i * dh:d + (i + 1) * dh], sk)
+            row = (e * h + i) * n
+            s_int = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s_scratch[row:row + n, :] = (
+                s_int.astype(jnp.float32) * (sq * sk * scale))
+    w = _softmax_rows(s_scratch[...])                       # f32 [E*H*N, M]
+    w8 = jnp.clip(jnp.round(w * 127.0), 0.0, 127.0).astype(jnp.int8)
+    for e in range(elems):
+        rs = slice(e * n, (e + 1) * n)
+        for i in range(h):
+            vi = q8(x[rs, 2 * d + i * dh:2 * d + (i + 1) * dh], sv)
+            row = (e * h + i) * n
+            o_int = jax.lax.dot_general(
+                w8[row:row + n, :], vi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[e, :, i * dh:(i + 1) * dh] = (
+                o_int.astype(jnp.float32) * (sv / 127.0)).astype(o_ref.dtype)
+
+
 def _bwd_kernel_packed_phased(qkv_ref, g_ref, dqkv_ref, s_scratch, d_scratch,
                               *, num_heads: int):
     """Phase-separated backward of `_fwd_kernel_packed`.
@@ -402,6 +461,22 @@ _ELEMS = int(os.environ.get("LDT_ATTN_ELEMS", "4"))
 # sampling fast path never depends on the bwd kernel's compile.
 _PHASED_BWD = os.environ.get("LDT_ATTN_PHASED_BWD", "1") == "1"
 
+# int8-operand phased forward (`_fwd_kernel_packed_phased_multi_int8`):
+# QK^T / AV as int8 MXU dots, f32 softmax. OFF by default — numerics
+# change, so it ships only behind the golden gate like the serving GEMMs
+# (scripts/int8_golden_gate.py). Applies to the multi-element phased
+# self-attention path only (the serving hot path). None = read the
+# LDT_ATTN_INT8 env at TRACE time (the golden gate rebuilds its jits per
+# mode after flipping the env, like LDT_SERVE_INT8); tests monkeypatch
+# the module flag to a bool directly.
+_INT8_ATTN = None
+
+
+def _int8_attn_enabled() -> bool:
+    if _INT8_ATTN is not None:
+        return _INT8_ATTN
+    return os.environ.get("LDT_ATTN_INT8", "0") == "1"
+
 
 def _fwd_call(q, k, v, num_heads: int, interpret: bool):
     b, n, d = q.shape
@@ -455,8 +530,10 @@ def _fwd_call_packed(qkv, num_heads: int, interpret: bool):
     d = d3 // 3
     if _PHASED and _ELEMS > 1 and b % _ELEMS == 0:
         e = _ELEMS
-        kernel = functools.partial(_fwd_kernel_packed_phased_multi,
-                                   num_heads=num_heads, elems=e)
+        kernel = functools.partial(
+            _fwd_kernel_packed_phased_multi_int8 if _int8_attn_enabled()
+            else _fwd_kernel_packed_phased_multi,
+            num_heads=num_heads, elems=e)
         eblock = lambda dd: pl.BlockSpec(  # noqa: E731
             (e, n, dd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(

@@ -32,7 +32,8 @@ model/scorenet/score.py:117-151 and model/layers.py:202-248.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import os
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,9 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
                 out_dtype=jnp.bfloat16) -> jax.Array:
     """x [..., K] @ int8 weight with dynamic per-row activation quant.
 
+    `w_scale=None` means the weight is a bf16 PASSTHROUGH (a block kept
+    un-quantized by the `bf16_tail` mixed scheme below) — plain matmul.
+
     Fusion note (profiled on v5e): computing the row amax from an f32
     upcast of x gives the upcast TWO consumers (the reduce and the divide),
     which XLA materializes as an f32 copy of the whole activation — ~0.5 ms
@@ -61,6 +65,8 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
     (convert / div / round / clip / int8) stays single-consumer — one
     fusion, no f32 temp.
     """
+    if w_scale is None:
+        return jnp.asarray(x @ w_i8, out_dtype)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
     s_x = jnp.maximum(amax, 1e-12) / 127.0
     x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
@@ -71,14 +77,23 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
     return (acc.astype(jnp.float32) * s_x * w_scale).astype(out_dtype)
 
 
-def quantize_score_params(params: Dict[str, Any],
-                          num_blocks: int) -> Dict[str, Any]:
+def quantize_score_params(params: Dict[str, Any], num_blocks: int,
+                          bf16_tail: Optional[int] = None) -> Dict[str, Any]:
     """Quantize the big per-block GEMM weights of a (non-UNet) Score net.
 
     Returns {'blocks': [per-block dict], 'ln_in': ..., 'ln_out': ...} with
     int8 kernels + f32 scales for qkv (packed), fc_o, mlp up/down; biases
     and the tiny in/out projections stay float (cast to bf16).
+
+    `bf16_tail` (default from LDT_INT8_BF16_TAIL, 0): keep the LAST k
+    blocks un-quantized (bf16 kernels, scale=None passthrough). Mixed
+    scheme for few-step sampling where per-step quantization error doesn't
+    average out (the DDIM-50 cov-CD refutation, docs/sampler_profile.md) —
+    the late blocks sit closest to the output and dominate the error.
     """
+    if bf16_tail is None:
+        bf16_tail = int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))
+
     def bf16(x):
         return jnp.asarray(x, jnp.bfloat16)
 
@@ -86,16 +101,23 @@ def quantize_score_params(params: Dict[str, Any],
     for i in range(num_blocks):
         blk = params[f"transformer_{i}"]
         attn = blk["attn"]
+        keep_bf16 = i >= num_blocks - bf16_tail
+
+        def qw(w):
+            if keep_bf16:
+                return bf16(w), None
+            return quantize_weight(w)
+
         w_qkv = jnp.concatenate(
             [jnp.asarray(attn["fc_q"]["kernel"], jnp.float32),
              jnp.asarray(attn["fc_kv"]["kernel"], jnp.float32)], axis=1)
         b_qkv = jnp.concatenate(
             [jnp.asarray(attn["fc_q"]["bias"]),
              jnp.asarray(attn["fc_kv"]["bias"])])
-        qkv_i8, qkv_s = quantize_weight(w_qkv)
-        o_i8, o_s = quantize_weight(attn["fc_o"]["kernel"])
-        up_i8, up_s = quantize_weight(blk["mlp"]["Dense_0"]["kernel"])
-        dn_i8, dn_s = quantize_weight(blk["mlp"]["Dense_1"]["kernel"])
+        qkv_i8, qkv_s = qw(w_qkv)
+        o_i8, o_s = qw(attn["fc_o"]["kernel"])
+        up_i8, up_s = qw(blk["mlp"]["Dense_0"]["kernel"])
+        dn_i8, dn_s = qw(blk["mlp"]["Dense_1"]["kernel"])
         blocks.append({
             "qkv_w": qkv_i8, "qkv_s": qkv_s, "qkv_b": bf16(b_qkv),
             "o_w": o_i8, "o_s": o_s, "o_b": bf16(attn["fc_o"]["bias"]),

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--completion", action="store_true",
                     help="gate the CONDITIONAL (ViPC completion) int8 "
                     "sampler; --exp must be a completion run")
+    ap.add_argument("--attn-int8", action="store_true",
+                    help="also enable the int8 Pallas attention core "
+                    "(LDT_ATTN_INT8) on the int8 leg — gates the full "
+                    "int8-GEMM + int8-attention serving stack against "
+                    "pure bf16")
     args = ap.parse_args()
 
     import yaml
@@ -157,7 +162,10 @@ def main():
         results = {}
         for mode in ("bf16", "int8"):
             os.environ["LDT_SERVE_INT8"] = "1" if mode == "int8" else "0"
-            # rebuild the jitted sampler so the env flag is re-read at
+            if args.attn_int8:
+                os.environ["LDT_ATTN_INT8"] = \
+                    "1" if mode == "int8" else "0"
+            # rebuild the jitted sampler so the env flags are re-read at
             # trace time
             trainer._build_steps()
             trainer.rng = jax.random.key(1234)

@@ -24,10 +24,14 @@ if [ ! -d data/ShapeNetCore.v2.PC15k/02691156/train ]; then
       python scripts/make_synth_data.py --train 512 --val 64 --test 64 \
       >> "$LOG" 2>&1
 fi
-if [ ! -d data/ShapeNetViPC-Dataset/ShapeNetViPC-GT/02691156 ]; then
+# the non-preload loader samples views 0..23 (reference ViPC.py parity),
+# so the tree must have TRAIN models with all 24 views — a partial tree
+# (test-only, or 8 views) crashes the loader mid-epoch
+if [ ! -f data/ShapeNetViPC-Dataset/ShapeNetViPC-GT/02691156/synth_train_0000/23.dat ]; then
   mark "make_synth_vipc"
+  rm -rf data/ShapeNetViPC-Dataset
   env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-      python scripts/make_synth_vipc.py >> "$LOG" 2>&1
+      python scripts/make_synth_vipc.py --views 24 >> "$LOG" 2>&1
 fi
 
 # 1) stage-1 synthetic stability compressor (pretrain for the completion VAE)

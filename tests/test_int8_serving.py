@@ -93,6 +93,43 @@ class TestDenoiseInt8:
         assert np.abs(got - want).mean() / denom < 0.05, (
             np.abs(got - want).mean(), denom)
 
+    def test_bf16_tail_mixed_scheme(self):
+        """LDT_INT8_BF16_TAIL mixed scheme: exactly the last k blocks carry
+        bf16 passthrough kernels (scale=None), the twin runs with any tail,
+        and the tail actually changes the computed path. (On a tiny random
+        3-block model the bf16-CARRY error dominates quantization error, so
+        error ordering is noise here — the n=256 TPU golden gate judges
+        whether the tail rescues DDIM-50 on a real checkpoint.)"""
+        from ldt_tpu.models.score import Score as ScoreCls
+
+        cfg, model, params = self._score()
+        schedule = jnp.linspace(1.0, 1e-6, 4)
+        mods = model.apply({"params": params}, schedule,
+                           method=ScoreCls.precompute_mods)
+        step_mods = jax.tree_util.tree_map(lambda m: m[1], mods)
+        x = jax.random.normal(jax.random.key(5), (2, 8, 16))
+        want = np.asarray(model.apply({"params": params}, x, step_mods,
+                                      method=ScoreCls.denoise_with_mods),
+                          np.float32)
+
+        outs = {}
+        for tail in (0, 2, cfg.num_blocks):
+            q = quantize_score_params(params, cfg.num_blocks,
+                                      bf16_tail=tail)
+            for i, blk in enumerate(q["blocks"]):
+                keep = i >= cfg.num_blocks - tail
+                assert (blk["qkv_s"] is None) == keep, (tail, i)
+                assert (blk["up_s"] is None) == keep
+                assert blk["qkv_w"].dtype == (
+                    jnp.bfloat16 if keep else jnp.int8)
+            outs[tail] = np.asarray(denoise_with_mods_int8(
+                x, step_mods, q, cfg.num_heads, interpret=True), np.float32)
+            # every variant stays within a few percent of the bf16 model
+            err = np.abs(outs[tail] - want).mean()
+            assert err < 0.05 * np.abs(want).mean(), (tail, err)
+        # the tail actually changes the computation
+        assert np.abs(outs[0] - outs[cfg.num_blocks]).max() > 0
+
     def test_cond_matches_bf16_forward(self):
         """Conditional twin vs the full `Score.__call__` with a {'img','pts'}
         condition: even blocks cross-attend to the cached condition KV, odd

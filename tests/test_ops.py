@@ -216,6 +216,30 @@ def test_approx_match_vs_hungarian(rng):
     assert (same < 5e-3).all()
 
 
+def test_approx_match_cost_only_matches_matrix_form(rng):
+    """`approx_match_cost` runs the cost-only (matvec) restructure on the
+    eval path; it must match the matrix form (`_approx_match_single` +
+    sum(match*dist)) on which the CUDA-parity tests were built — incl.
+    the n != m multiplier paths."""
+    from ldt_tpu.ops.emd import _approx_match_single
+    from ldt_tpu.ops.geometry import square_distance
+
+    for n, m in ((64, 64), (32, 64), (64, 32)):
+        x = rng.uniform(0, 1, size=(2, n, 3)).astype(np.float32)
+        y = rng.uniform(0, 1, size=(2, m, 3)).astype(np.float32)
+        got = np.asarray(ops.approx_match_cost(jnp.asarray(x),
+                                               jnp.asarray(y)))
+        want = []
+        for b in range(2):
+            match = _approx_match_single(jnp.asarray(x[b]), jnp.asarray(y[b]))
+            dist = jnp.sqrt(jnp.maximum(
+                square_distance(jnp.asarray(x[b][None]),
+                                jnp.asarray(y[b][None]))[0], 1e-20))
+            want.append(float(jnp.sum(match * dist)))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_approx_match_mass_conservation(rng):
     x = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
     y = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)

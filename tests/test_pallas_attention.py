@@ -245,3 +245,30 @@ def test_multi_element_phased_variant_matches_reference(elems, monkeypatch):
     got3 = pa._fwd_call_packed(qkv[:3], h, True)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want[:3]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_int8_phased_variant_close_to_reference(monkeypatch):
+    """The int8-operand phased forward (LDT_ATTN_INT8) quantizes q/k/v to
+    8 bits with per-program scales and the weights to a static 1/127 —
+    expect agreement with the f32 oracle at quantization precision (the
+    shipping decision belongs to the golden CD gate, this bounds the raw
+    kernel error)."""
+    import ldt_tpu.ops.pallas_attention as pa
+
+    b, n, h, dh = 4, 32, 16, 16
+    d = h * dh
+    ks = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(ks[0], (b, n, d))
+    k = jax.random.normal(ks[1], (b, n, d))
+    v = jax.random.normal(ks[2], (b, n, d))
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    want = reference_attention_core(q, k, v, h)
+    monkeypatch.setattr(pa, "_PHASED", True)
+    monkeypatch.setattr(pa, "_ELEMS", 4)
+    monkeypatch.setattr(pa, "_INT8_ATTN", True)
+    got = pa._fwd_call_packed(qkv, h, True)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() <= 0.05 * scale, (err.max(), scale)
+    # and the rms error is much tighter than the max bound
+    assert np.sqrt((err ** 2).mean()) <= 0.01 * scale
