@@ -75,8 +75,13 @@ def test_ball_query(rng):
     idx = np.asarray(ops.ball_query(0.5, 6, jnp.asarray(xyz), jnp.asarray(q)))
     d = _np_square_distance(q, xyz)[0]
     for i in range(4):
-        in_ball = set(np.nonzero(d[i] <= 0.25)[0].tolist())
-        assert set(idx[0, i].tolist()) <= in_ball
+        in_ball = np.nonzero(d[i] <= 0.25)[0]
+        assert set(idx[0, i].tolist()) <= set(in_ball.tolist())
+        # exact PointNet++ semantics: first nsample in-ball points in index
+        # order, short groups padded with the first pick
+        want = in_ball[:6].tolist()
+        want = want + [want[0]] * (6 - len(want))
+        assert idx[0, i].tolist() == want
 
 
 def test_chamfer_vs_oracle(rng):
