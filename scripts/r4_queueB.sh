@@ -40,11 +40,32 @@ else
   mark "stage1-emd SKIPPED: no stage-1 checkpoint"
 fi
 
-# --- 1b. eval pairwise rates (cost-only EMD restructure) ---------------
-mark "eval-pairs start"
-env JAX_PLATFORMS= timeout 1800 python scripts/bench_eval_pairs.py \
-    >> "$LOG" 2>&1
-mark "eval-pairs rc=$?"
+# --- 1b. eval pairwise rates (cost-only EMD restructure, then the
+# streaming Pallas kernel variant) --------------------------------------
+for pk in 0 1; do
+  mark "eval-pairs pallas=$pk start"
+  env JAX_PLATFORMS= LDT_EVAL_EMD_PALLAS=$pk timeout 1800 \
+      python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+  mark "eval-pairs pallas=$pk rc=$?"
+done
+# parity spot-check of the Pallas kernel on real hardware (not interpret)
+mark "emd-pallas-parity start"
+env JAX_PLATFORMS= timeout 900 python - >> "$LOG" 2>&1 <<'PYEOF'
+import numpy as np, sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+from ldt_tpu.ops import emd as emd_mod
+rng = np.random.RandomState(0)
+x = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+y = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+want = np.asarray(jax.vmap(emd_mod._approx_match_cost_single)(jnp.asarray(x), jnp.asarray(y)))
+got = np.asarray(emd_mod._approx_match_cost_pallas(jnp.asarray(x), jnp.asarray(y)))
+rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-9)
+print(f"[emd-pallas-parity] max rel {rel.max():.2e} want {want[:2]} got {got[:2]}")
+assert rel.max() < 1e-4, rel
+print("[emd-pallas-parity] OK")
+PYEOF
+mark "emd-pallas-parity rc=$?"
 
 # --- 1c. JSD on-device timing (vectorized occupancy grid) --------------
 mark "jsd-timing start"
@@ -72,6 +93,13 @@ for a in 1 0; do
       python bench.py >> "$LOG" 2>&1
   mark "bench int8attn=$a rc=$?"
 done
+
+# --- 2b. E=8 phased-attention point (E=4 is the default; the sweep was
+# monotone 667.9 / 707.9 / 726.5 for E=1/2/4 — check the knee) ----------
+mark "bench elems=8 start"
+env JAX_PLATFORMS= LDT_ATTN_ELEMS=8 LDT_BENCH_REPS=2 timeout 3600 \
+    python bench.py >> "$LOG" 2>&1
+mark "bench elems=8 rc=$?"
 
 # --- 3+4. stage-2 moment-dtype twins (400 epochs each) -----------------
 for d in "$CTL_DIR" "$BF16_DIR"; do

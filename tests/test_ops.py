@@ -245,6 +245,22 @@ def test_approx_match_cost_only_matches_matrix_form(rng):
                                    atol=1e-6)
 
 
+def test_approx_match_pallas_matches_xla(rng):
+    """The streaming Pallas eval-EMD kernel (interpret mode on CPU) must
+    match the XLA cost-only form: identical per-level math, only
+    reduction/streaming order differs at f32 rounding."""
+    from ldt_tpu.ops import emd as emd_mod
+
+    n = emd_mod._EMD_TILE * 2  # two row tiles
+    x = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
+    want = np.asarray(jax.vmap(emd_mod._approx_match_cost_single)(
+        jnp.asarray(x), jnp.asarray(y)))
+    got = np.asarray(emd_mod._approx_match_cost_pallas(
+        jnp.asarray(x), jnp.asarray(y), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
 def test_approx_match_mass_conservation(rng):
     x = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
     y = rng.uniform(0, 1, size=(1, 64, 3)).astype(np.float32)
