@@ -45,6 +45,30 @@ class TestMesh:
                                    np.asarray(g_sharded), rtol=1e-5)
 
 
+class TestShardedEMD:
+    def test_compact_auction_under_data_sharding(self, mesh):
+        """The two-phase compact auction (vmap of lax.while_loop) must
+        compile and match the unsharded result when the batch is sharded
+        over the data mesh — GSPMD turns the per-element while conds into
+        cross-replica reductions; the math must not change."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ldt_tpu.ops.emd import auction_emd
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 1, size=(8, 96, 3)).astype(np.float32)
+        y = (x + 0.02 * rng.normal(size=(8, 96, 3))).astype(np.float32)
+        want_d, want_a = auction_emd(jnp.asarray(x), jnp.asarray(y))
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+        ys = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("data")))
+        with mesh:
+            got_d, got_a = jax.jit(
+                lambda a, b: auction_emd(a, b, compact=True))(xs, ys)
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=1e-6)
+
+
 class TestShardedEval:
     def test_pairwise_cd_sharded_matches(self):
         from ldt_tpu.eval import pairwise_CD
