@@ -430,6 +430,15 @@ def _use_emd_pallas(n: int, m: int) -> bool:
     if os.environ.get("LDT_EVAL_EMD_PALLAS", "0") != "1":
         return False
     try:
+        # a multi-device eval mesh shards the pair tiles; a Pallas custom
+        # call would be REPLICATED by GSPMD, not partitioned (same
+        # limitation as the attention core under TP) — take the XLA form
+        from ldt_tpu.eval.metrics import _EVAL_MESH  # lazy: import cycle
+        if _EVAL_MESH is not None and _EVAL_MESH.size > 1:
+            return False
+    except Exception:  # pragma: no cover
+        pass
+    try:
         import jax.extend as jex
         backend = jex.backend.get_backend().platform
     except Exception:  # pragma: no cover
