@@ -412,14 +412,17 @@ def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
         grid=(p, 9, 2, n // tile),
         in_specs=[pl.BlockSpec((1, tile, m),
                                lambda pp, ll, ph, tt: (pp, tt, 0))],
-        out_specs=pl.BlockSpec((1, 1), lambda pp, ll, ph, tt: (pp, 0)),
+        # scalar per-pair output: SMEM is exempt from the (8, 128) VMEM
+        # block-tiling requirement (Mosaic rejects a (1, 1) VMEM block)
+        out_specs=pl.BlockSpec((1, 1), lambda pp, ll, ph, tt: (pp, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),   # remain_l
             pltpu.VMEM((n, 1), jnp.float32),   # ratio_l
             pltpu.VMEM((1, m), jnp.float32),   # remain_r
             pltpu.VMEM((1, m), jnp.float32),   # sumr accumulator / sumr
             pltpu.VMEM((1, m), jnp.float32),   # ratio_r
-            pltpu.VMEM((1, 1), jnp.float32),   # cost
+            pltpu.SMEM((1, 1), jnp.float32),   # cost
         ],
         interpret=interpret,
     )(d)

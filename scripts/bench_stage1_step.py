@@ -65,8 +65,10 @@ def main():
     rng = np.random.RandomState(0)
     if args.real:
         from ldt_tpu.data import get_data_loaders
+        from ldt_tpu.tools.io import dict2namespace
 
-        loaders = get_data_loaders(cfg.data)
+        loaders = get_data_loaders(cfg.data,
+                                   dict2namespace(dict(eval_split="val")))
         data = next(iter(loaders["train_loader"]))
         batch = {"tr_points": np.asarray(data["tr_points"])[:b],
                  "cate_idx": np.asarray(data["cate_idx"])[:b]}

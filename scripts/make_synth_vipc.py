@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--lists_dir", default="datasets/ViPC",
                     help="where train_list2.txt/test_list2.txt go (the "
                          "shipped configs' path)")
+    ap.add_argument("--list_views", type=int, default=1,
+                    help="views per model in the TEST list (more rows = "
+                         "more samples for the int8 golden gate; train "
+                         "stays 1 view/model)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -101,11 +105,14 @@ def main():
                     pickle.dump(part[sel].astype(np.float32), f)
                 Image.fromarray(_render_view(sub, meta[v, 0], meta[v, 1])
                                 ).save(os.path.join(view_dir, f"{vv}.png"))
-            lines.append(f"{SYNSET};{mid};00\n")
+            n_list = args.list_views if split == "test" else 1
+            for v in range(n_list):
+                lines.append(f"{SYNSET};{mid};{str(v).rjust(2, '0')}\n")
         with open(os.path.join(args.lists_dir, f"{split}_list2.txt"),
                   "w") as f:
             f.writelines(lines)
-        print(f"{split}: {count} models x {args.views} views")
+        print(f"{split}: {count} models x {args.views} views "
+              f"({len(lines)} list rows)")
 
 
 if __name__ == "__main__":
