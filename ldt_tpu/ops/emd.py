@@ -150,6 +150,8 @@ def _auction_single(x: jax.Array, y: jax.Array, eps: float, iters: int,
 
         (owner, _), _ = lax.scan(body, (owner0, price0), None, length=iters)
     else:
+        # enter=0 degenerates to EARLY-EXIT DENSE: the dense while runs
+        # until bijection (or iters) and the compact loop never fires.
         def n_unassigned(owner):
             return n - jnp.sum((owner >= 0).astype(jnp.int32))
 
@@ -197,19 +199,25 @@ def auction_emd(x: jax.Array, y: jax.Array, eps: float = 0.005,
       eps: bid increment slack (reference uses 0.005 for the loss).
       iters: auction rounds (reference uses 50).
       compact: two-phase dense->compacted rounds with early exit (see
-        `_auction_single`; result-identical, ~4x less work in the training
-        regime). Default: on, `LDT_EMD_COMPACT=0` restores the round-2
-        dense 50-round scan.
+        `_auction_single`; result-identical). Default OFF: the v5e
+        measurement (same-session controls, trained regime, B=16) put the
+        dense 50-round scan at 3.1 ms/step vs 4.2 ms compact and 4.0 ms
+        random-regime — the per-round gather/cumsum/scatter overhead of a
+        compact round costs as much as the dense reduces it avoids, and
+        lax.scan pipelines better than the batched while_loop. Kept as
+        `LDT_EMD_COMPACT=1` (+ `LDT_EMD_ENTER=0` for pure early-exit
+        dense rounds) — a recorded negative like the grouped-heads kernel.
     Returns:
       (dist `[B, N]` squared distances to assigned target,
        assignment `[B, N]` int32) — the `emdModule` contract
       (reference evaluation/emd.py:29-59).
     """
     if compact is None:
-        compact = os.environ.get("LDT_EMD_COMPACT", "1") == "1"
+        compact = os.environ.get("LDT_EMD_COMPACT", "0") == "1"
+    enter = int(os.environ.get("LDT_EMD_ENTER", str(_COMPACT_ENTER)))
     assignment = lax.stop_gradient(
-        jax.vmap(lambda a, b: _auction_single(a, b, eps, iters, compact))(
-            x, y)
+        jax.vmap(lambda a, b: _auction_single(a, b, eps, iters, compact,
+                                              enter=enter))(x, y)
     )
     matched = lax.stop_gradient(
         jnp.take_along_axis(y, assignment[..., None], axis=1)
