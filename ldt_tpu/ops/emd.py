@@ -349,6 +349,7 @@ _EMD_TILE = 256
 def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
                               sumr_acc, ratio_r, cost, *, n: int, m: int,
                               tile: int):
+    pair = pl.program_id(0)
     lvl = pl.program_id(1)
     phase = pl.program_id(2)
     t = pl.program_id(3)
@@ -402,7 +403,10 @@ def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
 
             @pl.when(lvl == 8)
             def _emit():
-                o_ref[0, 0] = cost[0, 0]
+                # o_ref is the WHOLE [P, 1] SMEM buffer (constant
+                # index_map — a (1, 1) block fails Mosaic's block-mapping
+                # check even in SMEM); scalar dynamic store per pair
+                o_ref[pair, 0] = cost[0, 0]
 
 
 def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
@@ -420,9 +424,11 @@ def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
         grid=(p, 9, 2, n // tile),
         in_specs=[pl.BlockSpec((1, tile, m),
                                lambda pp, ll, ph, tt: (pp, tt, 0))],
-        # scalar per-pair output: SMEM is exempt from the (8, 128) VMEM
-        # block-tiling requirement (Mosaic rejects a (1, 1) VMEM block)
-        out_specs=pl.BlockSpec((1, 1), lambda pp, ll, ph, tt: (pp, 0),
+        # scalar per-pair outputs: whole-array SMEM block (block shape ==
+        # array shape satisfies Mosaic's block-mapping check; (1, 1)
+        # blocks are rejected in both VMEM and SMEM), written by dynamic
+        # scalar index in _emit
+        out_specs=pl.BlockSpec((p, 1), lambda pp, ll, ph, tt: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),   # remain_l

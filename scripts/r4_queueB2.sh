@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-4 queue B2: reruns of the steps that failed or changed after the
+# first queue-B pass (SMEM output fix for the Pallas eval-EMD; early-exit
+# auction variant), then the long stage-2 twins + gates.
+set -u
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/r4_queueB.log
+mark() { echo "=== $* $(date -u +%H:%M:%S) ===" >> "$LOG"; }
+
+CTL_DIR=experiments/Latent_Diffusion_Trainer/airplane_synth_m32ctl
+BF16_DIR=experiments/Latent_Diffusion_Trainer/airplane_synth_mbf16
+
+# 1) early-exit dense auction (compact machinery, enter=0) + a step profile
+mark "stage1-emd earlyexit start"
+env JAX_PLATFORMS= LDT_EMD_COMPACT=1 LDT_EMD_ENTER=0 timeout 2400 \
+    python scripts/bench_stage1_step.py --restore 600 --real >> "$LOG" 2>&1
+mark "stage1-emd earlyexit rc=$?"
+mark "stage1-profile start"
+env JAX_PLATFORMS= timeout 2400 python scripts/bench_stage1_step.py \
+    --restore 600 --real --profile /tmp/s1prof >> "$LOG" 2>&1
+mark "stage1-profile rc=$?"
+
+# 2) Pallas eval-EMD, SMEM-output fix: parity first, then the rate
+mark "emd-pallas-parity2 start"
+env JAX_PLATFORMS= timeout 1200 python - >> "$LOG" 2>&1 <<'PYEOF'
+import numpy as np, sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+from ldt_tpu.ops import emd as emd_mod
+rng = np.random.RandomState(0)
+x = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+y = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+want = np.asarray(jax.vmap(emd_mod._approx_match_cost_single)(jnp.asarray(x), jnp.asarray(y)))
+got = np.asarray(emd_mod._approx_match_cost_pallas(jnp.asarray(x), jnp.asarray(y)))
+rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-9)
+print(f"[emd-pallas-parity] max rel {rel.max():.2e} want {want[:2]} got {got[:2]}")
+assert rel.max() < 1e-4, rel
+print("[emd-pallas-parity] OK")
+PYEOF
+mark "emd-pallas-parity2 rc=$?"
+mark "eval-pairs pallas=1 retry start"
+env JAX_PLATFORMS= LDT_EVAL_EMD_PALLAS=1 timeout 1800 \
+    python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+mark "eval-pairs pallas=1 retry rc=$?"
+
+# 3) stage-2 moment-dtype twins (400 epochs each)
+for d in "$CTL_DIR" "$BF16_DIR"; do
+  name=$(basename "$d")
+  if [ -f "$d/checkpt_400.msgpack" ]; then
+    mark "stage2 $name SKIPPED: checkpoint exists"
+    continue
+  fi
+  mark "stage2 $name start"
+  env JAX_PLATFORMS= timeout 10800 python train_Latent_Diffusion.py \
+      --dataset "$name" >> "$LOG" 2>&1
+  mark "stage2 $name rc=$?"
+done
+
+# 4) DDIM-50 int8 with bf16 tail (n=256)
+if [ -f "$CTL_DIR/checkpt_400.msgpack" ]; then
+  for tail in 4 8; do
+    mark "ddim50-tail$tail start"
+    env JAX_PLATFORMS= LDT_INT8_BF16_TAIL=$tail timeout 3600 \
+        python scripts/int8_golden_gate.py --exp "$CTL_DIR" --epoch 400 \
+        --num 256 --steps 50 --predictor ddim >> "$LOG" 2>&1
+    mark "ddim50-tail$tail rc=$?"
+  done
+  # 5) int8-attention golden gate (1000-step ancestral)
+  mark "int8attn-gate start"
+  env JAX_PLATFORMS= timeout 3600 \
+      python scripts/int8_golden_gate.py --exp "$CTL_DIR" --epoch 400 \
+      --num 64 --attn-int8 >> "$LOG" 2>&1
+  mark "int8attn-gate rc=$?"
+else
+  mark "gates SKIPPED: no stage-2 control checkpoint"
+fi
+echo "QUEUE B2 DONE" >> "$LOG"
