@@ -65,12 +65,9 @@ if [ -f "$CTL_DIR/checkpt_400.msgpack" ]; then
         --num 256 --steps 50 --predictor ddim >> "$LOG" 2>&1
     mark "ddim50-tail$tail rc=$?"
   done
-  # 5) int8-attention golden gate (1000-step ancestral)
-  mark "int8attn-gate start"
-  env JAX_PLATFORMS= timeout 3600 \
-      python scripts/int8_golden_gate.py --exp "$CTL_DIR" --epoch 400 \
-      --num 64 --attn-int8 >> "$LOG" 2>&1
-  mark "int8attn-gate rc=$?"
+  # (int8-attention gate dropped: the bench measured the kernel 18%
+  # SLOWER than bf16 attention same-session — 593.8 vs 724.9 clouds/min —
+  # so there is nothing to certify; see docs/sampler_profile.md round-4)
 else
   mark "gates SKIPPED: no stage-2 control checkpoint"
 fi
