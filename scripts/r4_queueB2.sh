@@ -43,6 +43,14 @@ env JAX_PLATFORMS= LDT_EVAL_EMD_PALLAS=1 timeout 1800 \
     python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
 mark "eval-pairs pallas=1 retry rc=$?"
 
+# 2c) serving batch operating point: the round-2 "batch 128 worse" result
+# predates the int8 GEMM path (bf16-era, latency-bound); at 85% of int8
+# peak a bigger M dim may buy utilization. Regime changed -> retry once.
+mark "bench batch128 start"
+env JAX_PLATFORMS= LDT_BENCH_BATCH=128 LDT_BENCH_REPS=2 timeout 3600 \
+    python bench.py >> "$LOG" 2>&1
+mark "bench batch128 rc=$?"
+
 # 3) stage-2 moment-dtype twins (400 epochs each)
 for d in "$CTL_DIR" "$BF16_DIR"; do
   name=$(basename "$d")
