@@ -343,7 +343,7 @@ def _approx_match_cost_single(x1: jax.Array, x2: jax.Array) -> jax.Array:
 # math as `_approx_match_cost_single`; reduction orders differ at f32
 # rounding (differential-tested).
 
-_EMD_TILE = 256
+_EMD_TILE = int(os.environ.get("LDT_EMD_PALLAS_TILE", "256"))
 
 
 def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 queue C: small follow-ups after queue B2 (tile-512 Pallas EMD
+# point, refreshed serving profile). Chained after "QUEUE B2 DONE".
+set -u
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/r4_queueC.log
+mark() { echo "=== $* $(date -u +%H:%M:%S) ===" >> "$LOG"; }
+
+# 1) Pallas eval-EMD at tile 512 (fewer grid steps -> less per-step
+#    overhead; parity re-checked at the new tile)
+mark "emd-pallas-512-parity start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 LDT_EMD_PALLAS_TILE=512 \
+    timeout 1200 python - >> "$LOG" 2>&1 <<'PYEOF'
+import numpy as np, sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+from ldt_tpu.ops import emd as emd_mod
+rng = np.random.RandomState(0)
+x = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+y = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+want = np.asarray(jax.vmap(emd_mod._approx_match_cost_single)(jnp.asarray(x), jnp.asarray(y)))
+got = np.asarray(emd_mod._approx_match_cost_pallas(jnp.asarray(x), jnp.asarray(y)))
+rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-9)
+print(f"[emd-pallas-512] max rel {rel.max():.2e}")
+assert rel.max() < 1e-4, rel
+print("[emd-pallas-512] parity OK")
+PYEOF
+mark "emd-pallas-512-parity rc=$?"
+mark "eval-pairs pallas-512 start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 LDT_EVAL_EMD_PALLAS=1 \
+    LDT_EMD_PALLAS_TILE=512 timeout 1800 \
+    python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+mark "eval-pairs pallas-512 rc=$?"
+
+# 2) refreshed serving per-op profile at the shipping default
+mark "sampler-profile start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 \
+    python scripts/profile_sampler.py >> "$LOG" 2>&1
+mark "sampler-profile rc=$?"
+echo "QUEUE C DONE" >> "$LOG"
