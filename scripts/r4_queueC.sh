@@ -37,4 +37,13 @@ mark "sampler-profile start"
 env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 \
     python scripts/profile_sampler.py >> "$LOG" 2>&1
 mark "sampler-profile rc=$?"
+
+# 3) completion int8 gate at n=64 (test list expanded to 8 views/model —
+#    the round-4 PASS was at the statistically thin n=8)
+mark "completion-gate-n64 start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 3600 \
+    python scripts/int8_golden_gate.py --completion \
+    --exp experiments/Latent_Diffusion_Trainer/completion/plane_synth_smoke \
+    --num 64 >> "$LOG" 2>&1
+mark "completion-gate-n64 rc=$?"
 echo "QUEUE C DONE" >> "$LOG"
