@@ -63,8 +63,15 @@ def _pair_block_impl(sample_block: jax.Array, ref_block: jax.Array,
         sharding = NamedSharding(mesh, P(mesh.axis_names))
         xs = jax.lax.with_sharding_constraint(xs, sharding)
         ys = jax.lax.with_sharding_constraint(ys, sharding)
-    dl, dr, _, _ = chamfer_distance(xs, ys)
-    cd = (jnp.mean(dl, axis=1) + jnp.mean(dr, axis=1)).reshape(s, r)
+    from ldt_tpu.ops.chamfer import pairwise_cd_means_pallas, use_cd_pallas
+
+    if (mesh is None or mesh.size == 1) and use_cd_pallas(n, m):
+        # single-device TPU eval: per-pair Pallas kernel, both clouds in
+        # VMEM, zero [N, M] HBM traffic (LDT_EVAL_CD_PALLAS=1)
+        cd = pairwise_cd_means_pallas(xs, ys).reshape(s, r)
+    else:
+        dl, dr, _, _ = chamfer_distance(xs, ys)
+        cd = (jnp.mean(dl, axis=1) + jnp.mean(dr, axis=1)).reshape(s, r)
     if not with_emd:
         return cd
     emd = (approx_match_cost(xs, ys) / float(m)).reshape(s, r)

@@ -21,10 +21,13 @@ the CUDA backward implements (scatter of `2*(x-y[idx])`).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _min_over_chunks(x, y, chunk: int):
@@ -115,3 +118,69 @@ def chamfer_metric(x: jax.Array, y: jax.Array):
     (reference evaluation/evaluation_metrics.py:16-33)."""
     d1, d2, _, _ = chamfer_distance(x, y)
     return d1, d2
+
+
+# ---------------------------------------------------------------------------
+# Pallas pairwise-CD kernel for the eval tiles (round-4, gated)
+# ---------------------------------------------------------------------------
+#
+# The eval pair tiles consume only `mean(d1) + mean(d2)` per pair
+# (eval/metrics.py::_pair_block_impl). The XLA form materializes the
+# [N, M] distance chunks through HBM per pair; here both clouds sit in
+# VMEM (24 KB each), d row-tiles are computed on the fly (one MXU dot per
+# tile) and reduced in place — per-pair HBM traffic is just the clouds and
+# one output scalar. Forward-only (no VJP: metrics never differentiate).
+
+
+def _pairwise_cd_kernel(x_ref, y_ref, o_ref, *, n: int, m: int, tile: int):
+    x = x_ref[0]                                   # [N, 3] f32
+    y = y_ref[0]                                   # [M, 3] f32
+    ysq = jnp.sum(y * y, axis=-1)[None, :]         # [1, M]
+    dr = jnp.full((1, m), jnp.finfo(jnp.float32).max, jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    for t in range(n // tile):
+        xt = x[t * tile:(t + 1) * tile, :]
+        d = (jnp.sum(xt * xt, axis=-1)[:, None]
+             - 2.0 * jax.lax.dot_general(
+                 xt, y, (((1,), (1,)), ((), ())),
+                 preferred_element_type=jnp.float32)
+             + ysq)                                # [tile, M]
+        d = jnp.maximum(d, 0.0)
+        total += jnp.sum(jnp.min(d, axis=1))
+        dr = jnp.minimum(dr, jnp.min(d, axis=0, keepdims=True))
+    o_ref[pl.program_id(0), 0] = total / n + jnp.sum(dr) / m
+
+
+def pairwise_cd_means_pallas(x: jax.Array, y: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """[P, N, 3] x [P, M, 3] -> [P] of mean_n d1 + mean_m d2 (squared)."""
+    p, n, _ = x.shape
+    m = y.shape[1]
+    tile = 256
+    kernel = functools.partial(_pairwise_cd_kernel, n=n, m=m, tile=tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda pp: (pp, 0, 0)),
+            pl.BlockSpec((1, m, 3), lambda pp: (pp, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((p, 1), lambda pp: (0, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(x.astype(jnp.float32), y.astype(jnp.float32))
+    return out[:, 0]
+
+
+def use_cd_pallas(n: int, m: int) -> bool:
+    """Gate for the eval-tile caller (TPU, aligned shapes, single device —
+    GSPMD would replicate the custom call under a mesh)."""
+    if os.environ.get("LDT_EVAL_CD_PALLAS", "0") != "1":
+        return False
+    try:
+        import jax.extend as jex
+        backend = jex.backend.get_backend().platform
+    except Exception:  # pragma: no cover
+        backend = jax.default_backend()
+    return (backend == "tpu" and n % 256 == 0 and m % 128 == 0)

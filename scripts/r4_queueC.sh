@@ -32,6 +32,38 @@ env JAX_PLATFORMS= PYTHONUNBUFFERED=1 LDT_EVAL_EMD_PALLAS=1 \
     python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
 mark "eval-pairs pallas-512 rc=$?"
 
+# 1b) Pallas pairwise-CD kernel (zero [N,M] HBM traffic): parity + rate
+mark "cd-pallas-parity start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 1200 python - >> "$LOG" 2>&1 <<'PYEOF'
+import numpy as np, sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+from ldt_tpu.ops import chamfer as ch
+rng = np.random.RandomState(0)
+x = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+y = rng.uniform(0, 1, size=(4, 2048, 3)).astype(np.float32)
+d1, d2, _, _ = ch.chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+want = np.asarray(jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1))
+got = np.asarray(ch.pairwise_cd_means_pallas(jnp.asarray(x), jnp.asarray(y)))
+rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-9)
+print(f"[cd-pallas] max rel {rel.max():.2e}")
+assert rel.max() < 1e-4, rel
+print("[cd-pallas] parity OK")
+PYEOF
+mark "cd-pallas-parity rc=$?"
+for ck in 1 0; do
+  mark "eval-pairs cdpallas=$ck start"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 LDT_EVAL_CD_PALLAS=$ck \
+      timeout 1800 python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+  mark "eval-pairs cdpallas=$ck rc=$?"
+done
+# combined best-known eval config
+mark "eval-pairs combined start"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 LDT_EVAL_CD_PALLAS=1 \
+    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_TILE=512 timeout 1800 \
+    python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+mark "eval-pairs combined rc=$?"
+
 # 2) refreshed serving per-op profile at the shipping default
 mark "sampler-profile start"
 env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 \

@@ -245,6 +245,22 @@ def test_approx_match_cost_only_matches_matrix_form(rng):
                                    atol=1e-6)
 
 
+def test_pairwise_cd_pallas_matches_xla(rng):
+    """The per-pair Pallas CD kernel (interpret mode on CPU) must match the
+    XLA chamfer means it replaces on the eval tiles."""
+    from ldt_tpu.ops.chamfer import pairwise_cd_means_pallas
+
+    n, m = 512, 256
+    x = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(3, m, 3)).astype(np.float32)
+    d1, d2, _, _ = ops.chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+    want = np.asarray(jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1))
+    got = np.asarray(pairwise_cd_means_pallas(jnp.asarray(x),
+                                              jnp.asarray(y),
+                                              interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_approx_match_pallas_matches_xla(rng):
     """The streaming Pallas eval-EMD kernel (interpret mode on CPU) must
     match the XLA cost-only form: identical per-level math, only
