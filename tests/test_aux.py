@@ -109,6 +109,30 @@ class TestConfigLoudness:
             make_norm("rms_norm", 16)
 
 
+class TestBenchSmoke:
+    def test_bench_emits_driver_json_line(self):
+        """bench.py end-to-end on CPU (tiny shapes via its on_cpu
+        defaults): the LAST stdout line must be the driver contract —
+        one JSON object with metric/value/unit/vs_baseline."""
+        import json
+        import subprocess
+        import sys
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   LDT_BENCH_BATCH="2", LDT_BENCH_STEPS="8",
+                   LDT_BENCH_REPS="1", LDT_BENCH_DEVICE_TIMEOUT="60")
+        out = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                             capture_output=True, text=True, timeout=900,
+                             cwd=repo, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = out.stdout.strip().split("\n")[-1]
+        rec = json.loads(line)
+        assert rec["unit"] == "clouds/min/chip"
+        assert rec["value"] > 0
+        assert abs(rec["vs_baseline"] - rec["value"] / 300.0) < 1e-6
+
+
 class TestBenchDeviceWatchdog:
     """bench.py::_require_devices — ok / fast-raise / hang paths."""
 
