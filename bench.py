@@ -189,7 +189,10 @@ def main():
         "metric": "gen_2048pt_clouds_per_min_per_chip",
         "value": round(clouds_per_min, 2),
         "unit": "clouds/min/chip",
-        "vs_baseline": round(clouds_per_min / 300.0, 4),
+        # derived from the ROUNDED value at 6 decimals so the two fields
+        # stay consistent even for tiny CPU smoke values (value=0.1 ->
+        # 0.000333, which 4-decimal rounding used to collapse to 0.0003)
+        "vs_baseline": round(round(clouds_per_min, 2) / 300.0, 6),
     }
     print(json.dumps(result))
 

@@ -93,6 +93,15 @@ class Trainer(BaseTrainer):
         # autodiff attention with LDT_TRAIN_FUSED=0 (sampling keeps the
         # fused fwd core either way).
         train_fused = fused and os.environ.get("LDT_TRAIN_FUSED", "1") == "1"
+        if train_fused:
+            # 2026-08-19 tunnel-side compiler: the fused-bwd FLAGSHIP update
+            # compile can hang indefinitely (CLAUDE.md round-4 wedge). Tell
+            # the operator up front instead of letting them discover a
+            # frozen 'Epoch 1 0/N' line.
+            print("[trainer] fused-attention TRAIN step enabled; if the "
+                  "first update-step compile hangs >10 min, restart with "
+                  "LDT_TRAIN_FUSED=0 (XLA attention in training only; "
+                  "sampling keeps the fused core).", flush=True)
         if fused:
             model = Score(cfg.score, dtype=model.dtype,
                           fused_attention=train_fused)

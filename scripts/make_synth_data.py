@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+# Runnable as `python scripts/make_synth_data.py` from anywhere: put the
+# repo root (this file's parent's parent) ahead of scripts/ on sys.path so
+# the ldt_tpu import below resolves without PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_POINTS = 15000
 
