@@ -1,0 +1,76 @@
+#!/bin/bash
+# Rebuild everything a container reset wipes (synthetic data + the
+# experiment checkpoint chains), in dependency order, fully guarded —
+# safe to re-run, skips whatever already exists. This has been needed
+# twice in round 4 alone; run it FIRST in any new session whose /tmp is
+# fresh and data/ is absent.
+#
+#   bash scripts/bootstrap_after_reset.sh            # data + stage-1
+#   bash scripts/bootstrap_after_reset.sh --full     # + completion chain
+#
+# One jax process at a time (single-client tunnel). Log: /tmp/bootstrap.log
+set -u
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/bootstrap.log
+mark() { echo "=== $* $(date -u +%H:%M:%S) ===" | tee -a "$LOG"; }
+
+STAGE1_CKPT=experiments/Compressor_Trainer/airplane_synth_stability/checkpt_600.msgpack
+COMP_VAE_CKPT=experiments/Compressor_Trainer/completion/plane_synth_smoke/checkpt_30.msgpack
+COMP_SDE_CKPT=experiments/Latent_Diffusion_Trainer/completion/plane_synth_smoke/checkpt_300.msgpack
+
+# 1) synthetic ShapeNet stand-in (val/test at 256 so golden gates can run
+#    n>=256; the generator is deterministic per (split, index) and extends
+#    an existing tree in place)
+if [ ! -f data/ShapeNetCore.v2.PC15k/02691156/test/synth_00255.npy ]; then
+  mark "make_synth_data"
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      python scripts/make_synth_data.py --train 512 --val 256 --test 256 \
+      >> "$LOG" 2>&1 || { mark "ABORT: make_synth_data failed"; exit 1; }
+fi
+
+# 2) synthetic ViPC tree (24 views/model — the non-preload loader samples
+#    views 0..23 and crashes on a partial tree)
+if [ ! -f data/ShapeNetViPC-Dataset/ShapeNetViPC-GT/02691156/synth_train_0000/23.dat ]; then
+  mark "make_synth_vipc"
+  rm -rf data/ShapeNetViPC-Dataset
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      python scripts/make_synth_vipc.py --views 24 >> "$LOG" 2>&1 \
+      || { mark "ABORT: make_synth_vipc failed"; exit 1; }
+fi
+
+# 3) stage-1 compressor, 600 epochs (~67 min on v5e; pretrain for both the
+#    stage-2 twins and the completion VAE)
+if [ ! -f "$STAGE1_CKPT" ]; then
+  mark "stage1 start"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 7200 \
+      python train_Compressor.py --dataset airplane_synth_stability \
+      >> "$LOG" 2>&1
+  mark "stage1 rc=$?"
+fi
+[ -f "$STAGE1_CKPT" ] || { mark "ABORT: stage1 checkpoint missing"; exit 1; }
+
+if [ "${1:-}" != "--full" ]; then
+  mark "DONE (data + stage-1; pass --full for the completion chain)"
+  exit 0
+fi
+
+# 4) completion compressor (30 epochs, bootstraps from stage-1)
+if [ ! -f "$COMP_VAE_CKPT" ]; then
+  mark "completion-vae start"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 5400 \
+      python train_Completion_Compressor.py --dataset plane_synth_smoke \
+      >> "$LOG" 2>&1
+  mark "completion-vae rc=$?"
+fi
+[ -f "$COMP_VAE_CKPT" ] || { mark "ABORT: completion VAE missing"; exit 1; }
+
+# 5) completion stage-2 (300 epochs, frozen completion VAE)
+if [ ! -f "$COMP_SDE_CKPT" ]; then
+  mark "completion-sde start"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 10800 \
+      python train_Completion_Latent_Diffusion.py --dataset plane_synth_smoke \
+      >> "$LOG" 2>&1
+  mark "completion-sde rc=$?"
+fi
+[ -f "$COMP_SDE_CKPT" ] || { mark "ABORT: completion stage-2 missing"; exit 1; }
+mark "DONE (full chain)"
