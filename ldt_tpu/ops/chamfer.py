@@ -146,7 +146,10 @@ def _pairwise_cd_kernel(x_ref, y_ref, o_ref, *, n: int, m: int, tile: int):
                  preferred_element_type=jnp.float32)
              + ysq)                                # [tile, M]
         d = jnp.maximum(d, 0.0)
-        total += jnp.sum(jnp.min(d, axis=1))
+        # keepdims: a 1-D [tile] min-reduce result trips a Mosaic relayout
+        # bug on v5e ("Non-singleton logical dimension is replicated in
+        # destination but not in source", 2026-08-19) — stay 2-D throughout
+        total += jnp.sum(jnp.min(d, axis=1, keepdims=True))
         dr = jnp.minimum(dr, jnp.min(d, axis=0, keepdims=True))
     o_ref[pl.program_id(0), 0] = total / n + jnp.sum(dr) / m
 

@@ -188,7 +188,6 @@ def _auction_single(x: jax.Array, y: jax.Array, eps: float, iters: int,
     return jnp.where(assignment >= 0, assignment, nearest)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "compact"))
 def auction_emd(x: jax.Array, y: jax.Array, eps: float = 0.005,
                 iters: int = 50, compact: Optional[bool] = None):
     """Approximate 1-to-1 assignment EMD.
@@ -212,9 +211,23 @@ def auction_emd(x: jax.Array, y: jax.Array, eps: float = 0.005,
        assignment `[B, N]` int32) — the `emdModule` contract
       (reference evaluation/emd.py:29-59).
     """
+    # env knobs resolve OUT here (at call time) and enter the jit cache key
+    # as static args — a module-level jit reading them at trace time would
+    # silently serve the stale first trace after an env flip (the A/B
+    # queue scripts use fresh processes, but an in-process sweep must not
+    # lie). `enter` > tile would drop unassigned rows past the first
+    # _COMPACT_TILE in a compact round, breaking the result-identical
+    # guarantee — clamp it.
     if compact is None:
         compact = os.environ.get("LDT_EMD_COMPACT", "0") == "1"
     enter = int(os.environ.get("LDT_EMD_ENTER", str(_COMPACT_ENTER)))
+    enter = min(enter, _COMPACT_TILE)
+    return _auction_emd_jit(x, y, eps, iters, compact, enter)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "compact", "enter"))
+def _auction_emd_jit(x: jax.Array, y: jax.Array, eps: float,
+                     iters: int, compact: bool, enter: int):
     assignment = lax.stop_gradient(
         jax.vmap(lambda a, b: _auction_single(a, b, eps, iters, compact,
                                               enter=enter))(x, y)
@@ -451,7 +464,13 @@ def _use_emd_pallas(n: int, m: int) -> bool:
         # call would be REPLICATED by GSPMD, not partitioned (same
         # limitation as the attention core under TP) — take the XLA form
         from ldt_tpu.eval.metrics import _EVAL_MESH  # lazy: import cycle
-        if _EVAL_MESH is not None and _EVAL_MESH.size > 1:
+        if _EVAL_MESH is not None:
+            if _EVAL_MESH.size > 1:
+                return False
+        elif jax.device_count() > 1:
+            # no registered eval mesh, but _pair_block falls back to a
+            # data_mesh() over ALL devices and shards the pair tiles —
+            # same replication hazard as a registered multi-device mesh
             return False
     except Exception:  # pragma: no cover
         pass

@@ -175,8 +175,12 @@ def ball_query(radius: float, nsample: int, xyz: jax.Array,
     ].min(idx_rank)
     group_idx = slots[..., :nsample]
     # Replace empty slots by the first valid pick (standard PointNet++).
+    # A fully-empty ball falls back to index 0 — the reference CUDA's
+    # zero-initialized output buffer semantics — not n-1 (which a plain
+    # min-clamp of the sentinel would give).
     valid = group_idx < n
-    first = jnp.minimum(group_idx[..., :1], n - 1)
+    first = group_idx[..., :1]
+    first = jnp.where(first < n, first, 0)
     return jnp.where(valid, group_idx, first)
 
 

@@ -29,12 +29,17 @@ if [ ! -f data/ShapeNetCore.v2.PC15k/02691156/test/synth_00255.npy ]; then
 fi
 
 # 2) synthetic ViPC tree (24 views/model — the non-preload loader samples
-#    views 0..23 and crashes on a partial tree)
-if [ ! -f data/ShapeNetViPC-Dataset/ShapeNetViPC-GT/02691156/synth_train_0000/23.dat ]; then
+#    views 0..23 and crashes on a partial tree; --list_views 8 expands the
+#    TEST list to 8 views/model = 64 rows so the completion int8 golden
+#    gate runs at n=64, not the statistically thin n=8)
+vipc_rows=$(wc -l < datasets/ViPC/test_list2.txt 2>/dev/null || echo 0)
+if [ ! -f data/ShapeNetViPC-Dataset/ShapeNetViPC-GT/02691156/synth_train_0000/23.dat ] \
+   || [ "$vipc_rows" -lt 64 ]; then
   mark "make_synth_vipc"
   rm -rf data/ShapeNetViPC-Dataset
   env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-      python scripts/make_synth_vipc.py --views 24 >> "$LOG" 2>&1 \
+      python scripts/make_synth_vipc.py --views 24 --list_views 8 \
+      >> "$LOG" 2>&1 \
       || { mark "ABORT: make_synth_vipc failed"; exit 1; }
 fi
 

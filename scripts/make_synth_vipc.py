@@ -61,6 +61,10 @@ def main():
                          "more samples for the int8 golden gate; train "
                          "stays 1 view/model)")
     args = ap.parse_args()
+    if args.list_views > args.views:
+        ap.error(f"--list_views {args.list_views} > --views {args.views}: "
+                 "the test list would reference views that were never "
+                 "rendered and the loader would crash mid-epoch")
 
     from PIL import Image
 

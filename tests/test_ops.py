@@ -84,6 +84,16 @@ def test_ball_query(rng):
         assert idx[0, i].tolist() == want
 
 
+def test_ball_query_empty_ball_falls_back_to_index_zero():
+    # A query point with NO in-radius neighbor: the reference CUDA leaves
+    # its zero-initialized output buffer -> all slots are index 0.
+    xyz = np.zeros((1, 5, 3), np.float32)
+    xyz[0, :, 0] = np.arange(5)  # points at x = 0..4
+    q = np.full((1, 1, 3), 100.0, np.float32)  # far from everything
+    idx = np.asarray(ops.ball_query(0.5, 4, jnp.asarray(xyz), jnp.asarray(q)))
+    assert idx[0, 0].tolist() == [0, 0, 0, 0]
+
+
 def test_chamfer_vs_oracle(rng):
     x = rng.standard_normal((2, 33, 3)).astype(np.float32)
     y = rng.standard_normal((2, 47, 3)).astype(np.float32)
