@@ -7,12 +7,43 @@
 #
 #   bash scripts/bootstrap_after_reset.sh            # data + stage-1
 #   bash scripts/bootstrap_after_reset.sh --full     # + completion chain
+#   LDT_BOOTSTRAP_BUDGET_MIN=90 bash scripts/bootstrap_after_reset.sh --full
+#     # stop starting new TPU stages once the budget is spent (stages are
+#     # skipped with a logged reason; re-run to continue where it left off)
 #
 # One jax process at a time (single-client tunnel). Log: /tmp/bootstrap.log
 set -u
 cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/bootstrap.log
 mark() { echo "=== $* $(date -u +%H:%M:%S) ===" | tee -a "$LOG"; }
+
+# Deadline guard: the TPU tunnel is single-client, and the round driver
+# runs bench.py on it at end-of-round — an unattended chain still training
+# then would deadlock the bench. LDT_BOOTSTRAP_BUDGET_MIN bounds the whole
+# chain: a TPU stage only starts if its estimated duration fits in the
+# remaining budget (and its timeout is clamped to the remainder).
+BUDGET_MIN=${LDT_BOOTSTRAP_BUDGET_MIN:-0}   # 0 = unlimited (old behavior)
+START_TS=$(date +%s)
+# fits <est-minutes> <stage-name> -> 0 if the stage may start
+fits() {
+  [ "$BUDGET_MIN" -le 0 ] && return 0
+  local now rem
+  now=$(date +%s)
+  rem=$(( BUDGET_MIN * 60 - (now - START_TS) ))
+  if [ "$rem" -lt $(( $1 * 60 )) ]; then
+    mark "SKIP $2: est ${1}m > ${rem}s left of LDT_BOOTSTRAP_BUDGET_MIN=${BUDGET_MIN}m (re-run later)"
+    return 1
+  fi
+  return 0
+}
+# clamp <default-timeout-s> -> min(default, remaining budget)
+clamp() {
+  if [ "$BUDGET_MIN" -le 0 ]; then echo "$1"; return; fi
+  local now rem
+  now=$(date +%s)
+  rem=$(( BUDGET_MIN * 60 - (now - START_TS) ))
+  [ "$rem" -lt "$1" ] && echo "$rem" || echo "$1"
+}
 
 STAGE1_CKPT=experiments/Compressor_Trainer/airplane_synth_stability/checkpt_600.msgpack
 COMP_VAE_CKPT=experiments/Compressor_Trainer/completion/plane_synth_smoke/checkpt_30.msgpack
@@ -46,8 +77,9 @@ fi
 # 3) stage-1 compressor, 600 epochs (~67 min on v5e; pretrain for both the
 #    stage-2 twins and the completion VAE)
 if [ ! -f "$STAGE1_CKPT" ]; then
+  fits 75 "stage1" || exit 0
   mark "stage1 start"
-  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 7200 \
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout "$(clamp 7200)" \
       python train_Compressor.py --dataset airplane_synth_stability \
       >> "$LOG" 2>&1
   mark "stage1 rc=$?"
@@ -61,8 +93,9 @@ fi
 
 # 4) completion compressor (30 epochs, bootstraps from stage-1)
 if [ ! -f "$COMP_VAE_CKPT" ]; then
+  fits 45 "completion-vae" || exit 0
   mark "completion-vae start"
-  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 5400 \
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout "$(clamp 5400)" \
       python train_Completion_Compressor.py --dataset plane_synth_smoke \
       >> "$LOG" 2>&1
   mark "completion-vae rc=$?"
@@ -71,8 +104,9 @@ fi
 
 # 5) completion stage-2 (300 epochs, frozen completion VAE)
 if [ ! -f "$COMP_SDE_CKPT" ]; then
+  fits 40 "completion-sde" || exit 0
   mark "completion-sde start"
-  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 10800 \
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout "$(clamp 10800)" \
       python train_Completion_Latent_Diffusion.py --dataset plane_synth_smoke \
       >> "$LOG" 2>&1
   mark "completion-sde rc=$?"
