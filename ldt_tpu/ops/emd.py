@@ -357,69 +357,86 @@ def _approx_match_cost_single(x1: jax.Array, x2: jax.Array) -> jax.Array:
 # rounding (differential-tested).
 
 _EMD_TILE = int(os.environ.get("LDT_EMD_PALLAS_TILE", "256"))
+# pairs processed per grid step (unrolled in-kernel loop). >1 amortizes the
+# per-grid-step overhead that bounded the round-4 kernel (144 tiny steps per
+# pair); VMEM budget = 2 * pairs * tile * m * 4 bytes of double-buffered d
+# blocks, so keep pairs * tile <= ~512 at m = 2048 (~16 MB VMEM/core).
+_EMD_PAIRS = int(os.environ.get("LDT_EMD_PALLAS_PAIRS", "1"))
 
 
 def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
                               sumr_acc, ratio_r, cost, *, n: int, m: int,
-                              tile: int):
-    pair = pl.program_id(0)
+                              tile: int, pairs: int):
+    blk = pl.program_id(0)
     lvl = pl.program_id(1)
     phase = pl.program_id(2)
     t = pl.program_id(3)
     n_tiles = n // tile
     level = -jnp.exp2(2.0 * (7.0 - lvl.astype(jnp.float32)))  # -4^(7-l)
-    d = d_ref[0]                                   # [tile, m] f32
-    w = jnp.exp(level * d)
     rs = pl.ds(t * tile, tile)
 
     @pl.when((lvl == 0) & (phase == 0) & (t == 0))
-    def _init_pair():
-        remain_r[...] = jnp.ones((1, m), jnp.float32)
-        cost[0, 0] = 0.0
+    def _init_blk():
+        remain_r[...] = jnp.ones((pairs, m), jnp.float32)
 
     @pl.when((phase == 0) & (t == 0))
     def _init_level():
-        sumr_acc[...] = jnp.zeros((1, m), jnp.float32)
+        sumr_acc[...] = jnp.zeros((pairs, m), jnp.float32)
 
-    @pl.when(phase == 0)
-    def _phase_a():
-        @pl.when(lvl == 0)
-        def _init_rows():
-            remain_l[rs, :] = jnp.ones((tile, 1), jnp.float32)
+    # static per-pair loop: each pair keeps a column of the row-state
+    # buffers ([n, pairs]) and a row of the col-state buffers ([pairs, m]);
+    # the d block is [pairs, tile, m] and d_ref[i] is a plain 2-D tile, so
+    # the per-pair math below is exactly the pairs=1 kernel's.
+    for i in range(pairs):
+        d = d_ref[i]                               # [tile, m] f32
+        w = jnp.exp(level * d)
 
-        suml = 1e-9 + jnp.sum(w * remain_r[...], axis=1, keepdims=True)
-        rl = remain_l[rs, :] / suml                # [tile, 1]
-        ratio_l[rs, :] = rl
-        sumr_acc[...] += jnp.sum(rl * w, axis=0, keepdims=True)
+        @pl.when(phase == 0)
+        def _phase_a(i=i, d=d, w=w):
+            @pl.when((lvl == 0) & (t == 0))
+            def _init_cost():
+                cost[0, i] = 0.0
 
-    @pl.when(phase == 1)
-    def _phase_b():
-        @pl.when(t == 0)
-        def _close_level():
-            sumr = sumr_acc[...] * remain_r[...]
-            sumr_acc[...] = sumr                   # reuse as the sumr value
-            consumption = jnp.minimum(
-                remain_r[...] / (sumr + 1e-9), 1.0)
-            ratio_r[...] = consumption * remain_r[...]
+            @pl.when(lvl == 0)
+            def _init_rows():
+                remain_l[rs, i:i + 1] = jnp.ones((tile, 1), jnp.float32)
 
-        dist = jnp.sqrt(jnp.maximum(d, 1e-20))
-        rl = ratio_l[rs, :]
-        rr = ratio_r[...]
-        cost[0, 0] += jnp.sum((w * dist) * rl * rr)
-        wr = jnp.sum(w * rr, axis=1, keepdims=True)
-        remain_l[rs, :] = jnp.maximum(0.0, remain_l[rs, :] - rl * wr)
+            suml = 1e-9 + jnp.sum(w * remain_r[i:i + 1, :], axis=1,
+                                  keepdims=True)
+            rl = remain_l[rs, i:i + 1] / suml      # [tile, 1]
+            ratio_l[rs, i:i + 1] = rl
+            sumr_acc[i:i + 1, :] += jnp.sum(rl * w, axis=0, keepdims=True)
 
-        @pl.when(t == n_tiles - 1)
-        def _end_level():
-            remain_r[...] = jnp.maximum(
-                0.0, remain_r[...] - sumr_acc[...])
+        @pl.when(phase == 1)
+        def _phase_b(i=i, d=d, w=w):
+            @pl.when(t == 0)
+            def _close_level():
+                sumr = sumr_acc[i:i + 1, :] * remain_r[i:i + 1, :]
+                sumr_acc[i:i + 1, :] = sumr        # reuse as the sumr value
+                consumption = jnp.minimum(
+                    remain_r[i:i + 1, :] / (sumr + 1e-9), 1.0)
+                ratio_r[i:i + 1, :] = consumption * remain_r[i:i + 1, :]
 
-            @pl.when(lvl == 8)
-            def _emit():
-                # o_ref is the WHOLE [P, 1] SMEM buffer (constant
-                # index_map — a (1, 1) block fails Mosaic's block-mapping
-                # check even in SMEM); scalar dynamic store per pair
-                o_ref[pair, 0] = cost[0, 0]
+            dist = jnp.sqrt(jnp.maximum(d, 1e-20))
+            rl = ratio_l[rs, i:i + 1]
+            rr = ratio_r[i:i + 1, :]
+            cost[0, i] += jnp.sum((w * dist) * rl * rr)
+            wr = jnp.sum(w * rr, axis=1, keepdims=True)
+            remain_l[rs, i:i + 1] = jnp.maximum(
+                0.0, remain_l[rs, i:i + 1] - rl * wr)
+
+            @pl.when(t == n_tiles - 1)
+            def _end_level():
+                remain_r[i:i + 1, :] = jnp.maximum(
+                    0.0, remain_r[i:i + 1, :] - sumr_acc[i:i + 1, :])
+
+                @pl.when(lvl == 8)
+                def _emit():
+                    # o_ref is the WHOLE [P, 1] SMEM buffer (constant
+                    # index_map — a (1, 1) block fails Mosaic's
+                    # block-mapping check even in SMEM); scalar dynamic
+                    # store per pair
+                    o_ref[blk * pairs + i, 0] = cost[0, i]
 
 
 def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
@@ -428,32 +445,39 @@ def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
     p, n, _ = x1.shape
     m = x2.shape[1]
     tile = _EMD_TILE
+    pairs = max(1, min(_EMD_PAIRS, p))
     d = jnp.maximum(square_distance(x1, x2), 0.0).astype(jnp.float32)
+    if p % pairs:
+        # pad the pair axis; d = 0 rows anneal to finite junk costs that
+        # the [:p] slice below discards (exp(level * 0) = 1, no NaN path)
+        pad = pairs - p % pairs
+        d = jnp.concatenate([d, jnp.zeros((pad, n, m), jnp.float32)], 0)
+    p_pad = d.shape[0]
     kernel = functools.partial(_approx_match_cost_kernel, n=n, m=m,
-                               tile=tile)
+                               tile=tile, pairs=pairs)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
-        grid=(p, 9, 2, n // tile),
-        in_specs=[pl.BlockSpec((1, tile, m),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+        grid=(p_pad // pairs, 9, 2, n // tile),
+        in_specs=[pl.BlockSpec((pairs, tile, m),
                                lambda pp, ll, ph, tt: (pp, tt, 0))],
         # scalar per-pair outputs: whole-array SMEM block (block shape ==
         # array shape satisfies Mosaic's block-mapping check; (1, 1)
         # blocks are rejected in both VMEM and SMEM), written by dynamic
         # scalar index in _emit
-        out_specs=pl.BlockSpec((p, 1), lambda pp, ll, ph, tt: (0, 0),
+        out_specs=pl.BlockSpec((p_pad, 1), lambda pp, ll, ph, tt: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n, 1), jnp.float32),   # remain_l
-            pltpu.VMEM((n, 1), jnp.float32),   # ratio_l
-            pltpu.VMEM((1, m), jnp.float32),   # remain_r
-            pltpu.VMEM((1, m), jnp.float32),   # sumr accumulator / sumr
-            pltpu.VMEM((1, m), jnp.float32),   # ratio_r
-            pltpu.SMEM((1, 1), jnp.float32),   # cost
+            pltpu.VMEM((n, pairs), jnp.float32),   # remain_l (col / pair)
+            pltpu.VMEM((n, pairs), jnp.float32),   # ratio_l (col / pair)
+            pltpu.VMEM((pairs, m), jnp.float32),   # remain_r (row / pair)
+            pltpu.VMEM((pairs, m), jnp.float32),   # sumr acc / sumr value
+            pltpu.VMEM((pairs, m), jnp.float32),   # ratio_r (row / pair)
+            pltpu.SMEM((1, pairs), jnp.float32),   # cost
         ],
         interpret=interpret,
     )(d)
-    return out[:, 0]
+    return out[:p, 0]
 
 
 def _use_emd_pallas(n: int, m: int) -> bool:

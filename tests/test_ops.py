@@ -271,12 +271,16 @@ def test_pairwise_cd_pallas_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_approx_match_pallas_matches_xla(rng):
+@pytest.mark.parametrize("pairs", [1, 2, 4])
+def test_approx_match_pallas_matches_xla(rng, pairs, monkeypatch):
     """The streaming Pallas eval-EMD kernel (interpret mode on CPU) must
     match the XLA cost-only form: identical per-level math, only
-    reduction/streaming order differs at f32 rounding."""
+    reduction/streaming order differs at f32 rounding. pairs > 1 exercises
+    the pair-batched grid (LDT_EMD_PALLAS_PAIRS) including the padded tail
+    (p=3 is not a multiple of 2 or 4)."""
     from ldt_tpu.ops import emd as emd_mod
 
+    monkeypatch.setattr(emd_mod, "_EMD_PAIRS", pairs)
     n = emd_mod._EMD_TILE * 2  # two row tiles
     x = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
     y = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
