@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-4 queue G: same-session eval-EMD pair-batching sweep + bench control.
+#
+# Measures the pair-batched streaming Pallas eval-EMD kernel
+# (LDT_EMD_PALLAS_PAIRS, ops/emd.py) against the XLA form and the round-4
+# pairs=1 kernel, all in ONE session (tunnel-compiler deltas make
+# cross-session comparisons meaningless — CLAUDE.md). VMEM budget keeps
+# pairs * tile <= 512 at m = 2048. Finishes with a headline bench control.
+#
+# Fire only when the tunnel is free (single client!). Log: /tmp/queueG.log
+set -u
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/queueG.log
+mark() { echo "=== $* $(date -u +%H:%M:%S) ===" | tee -a "$LOG"; }
+
+run_pairs() { # name, env...
+  local name=$1; shift
+  mark "eval-pairs $name"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 "$@" timeout 1200 \
+      python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+  mark "eval-pairs $name rc=$?"
+}
+
+mark "on-device parity (pt 1/2/4 vs XLA form)"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 1200 python - >> "$LOG" 2>&1 <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from ldt_tpu.ops import emd as emd_mod
+rng = np.random.RandomState(0)
+x = rng.uniform(0, 1, size=(6, 2048, 3)).astype(np.float32)
+y = rng.uniform(0, 1, size=(6, 2048, 3)).astype(np.float32)
+want = np.asarray(jax.vmap(emd_mod._approx_match_cost_single)(
+    jnp.asarray(x), jnp.asarray(y)))
+for pt, tile in ((1, 256), (2, 256), (4, 128)):
+    emd_mod._EMD_PAIRS, emd_mod._EMD_TILE = pt, tile
+    got = np.asarray(emd_mod._approx_match_cost_pallas(
+        jnp.asarray(x), jnp.asarray(y)))
+    err = float(np.max(np.abs(got - want) / np.abs(want)))
+    print(f"[parity] pt={pt} tile={tile}: max rel err {err:.2e}", flush=True)
+    assert err < 2e-5, (pt, tile, err)
+print("[parity] OK")
+EOF
+mark "parity rc=$?"
+
+run_pairs "xla-control"        LDT_EVAL_EMD_PALLAS=0
+run_pairs "pallas-pt1-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=1 LDT_EMD_PALLAS_TILE=256
+run_pairs "pallas-pt2-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2 LDT_EMD_PALLAS_TILE=256
+run_pairs "pallas-pt4-t128"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=128
+run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_EMD_PALLAS_TILE=64
+
+mark "bench control"
+env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 python bench.py >> "$LOG" 2>&1
+mark "bench control rc=$?"
+mark "DONE"
