@@ -37,6 +37,14 @@ for pt, tile in ((1, 256), (2, 256), (4, 128)):
     err = float(np.max(np.abs(got - want) / np.abs(want)))
     print(f"[parity] pt={pt} tile={tile}: max rel err {err:.2e}", flush=True)
     assert err < 2e-5, (pt, tile, err)
+import ldt_tpu.ops as ops
+from ldt_tpu.ops.chamfer import pairwise_cd_means_pallas
+d1, d2, _, _ = ops.chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+want_cd = np.asarray(jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1))
+got_cd = np.asarray(pairwise_cd_means_pallas(jnp.asarray(x), jnp.asarray(y)))
+err = float(np.max(np.abs(got_cd - want_cd) / np.abs(want_cd)))
+print(f"[parity] cd-pallas: max rel err {err:.2e}", flush=True)
+assert err < 1e-5, err
 print("[parity] OK")
 EOF
 mark "parity rc=$?"
@@ -46,6 +54,10 @@ run_pairs "pallas-pt1-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=1 LDT_
 run_pairs "pallas-pt2-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2 LDT_EMD_PALLAS_TILE=256
 run_pairs "pallas-pt4-t128"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=128
 run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_EMD_PALLAS_TILE=64
+# round-4 per-pair CD kernel: committed but never measured on TPU (the
+# container reset ate queue F2) — CD row is the number that moves here
+run_pairs "cd-pallas"          LDT_EVAL_CD_PALLAS=1
+run_pairs "cd+emd-best-combo"  LDT_EVAL_CD_PALLAS=1 LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2
 
 mark "bench control"
 env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 python bench.py >> "$LOG" 2>&1
