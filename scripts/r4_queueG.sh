@@ -59,7 +59,17 @@ run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_
 run_pairs "cd-pallas"          LDT_EVAL_CD_PALLAS=1
 run_pairs "cd+emd-best-combo"  LDT_EVAL_CD_PALLAS=1 LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2
 
-mark "bench control"
-env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 2400 python bench.py >> "$LOG" 2>&1
-mark "bench control rc=$?"
+# stage-1 step control on the fresh bootstrap checkpoint (docs freshness:
+# the auction share was last profiled on the pre-update compiler)
+S1=experiments/Compressor_Trainer/airplane_synth_stability/checkpt_600.msgpack
+if [ -f "$S1" ]; then
+  mark "stage1-step control"
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 timeout 1800 \
+      python scripts/bench_stage1_step.py --restore 600 --real >> "$LOG" 2>&1
+  mark "stage1-step rc=$?"
+else
+  mark "SKIP stage1-step (no checkpoint)"
+fi
+# NO bench control here: the round driver runs bench.py itself right after
+# the session, and nothing this session touches the serving path.
 mark "DONE"
