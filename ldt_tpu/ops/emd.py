@@ -362,6 +362,12 @@ _EMD_TILE = int(os.environ.get("LDT_EMD_PALLAS_TILE", "256"))
 # pair); VMEM budget = 2 * pairs * tile * m * 4 bytes of double-buffered d
 # blocks, so keep pairs * tile <= ~512 at m = 2048 (~16 MB VMEM/core).
 _EMD_PAIRS = int(os.environ.get("LDT_EMD_PALLAS_PAIRS", "1"))
+# on-the-fly d: keep the CLOUDS in VMEM (24 KB each, CD-kernel style,
+# chamfer.py::_pairwise_cd_kernel) and compute each d row-tile per use with
+# one [tile, 3] x [3, m] MXU dot — the [P, N, M] d tensor is never
+# materialized at all (saves its HBM write + the 18 reads per pair AND the
+# 1.6 GB pair-tile temp budget that caps eval tile sizes).
+_EMD_OTF = os.environ.get("LDT_EMD_PALLAS_OTF", "0") == "1"
 
 
 def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
@@ -388,55 +394,100 @@ def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
     # the d block is [pairs, tile, m] and d_ref[i] is a plain 2-D tile, so
     # the per-pair math below is exactly the pairs=1 kernel's.
     for i in range(pairs):
-        d = d_ref[i]                               # [tile, m] f32
-        w = jnp.exp(level * d)
+        _emd_pair_step(d_ref[i], i, level, blk, lvl, phase, t, n_tiles, rs,
+                       tile, o_ref, remain_l, ratio_l, remain_r, sumr_acc,
+                       ratio_r, cost, pairs)
 
-        @pl.when(phase == 0)
-        def _phase_a(i=i, d=d, w=w):
-            @pl.when((lvl == 0) & (t == 0))
-            def _init_cost():
-                cost[0, i] = 0.0
 
-            @pl.when(lvl == 0)
-            def _init_rows():
-                remain_l[rs, i:i + 1] = jnp.ones((tile, 1), jnp.float32)
+def _emd_pair_step(d, i, level, blk, lvl, phase, t, n_tiles, rs, tile,
+                   o_ref, remain_l, ratio_l, remain_r, sumr_acc, ratio_r,
+                   cost, pairs):
+    """One (level, phase, row-tile) step of the annealed match for pair
+    slot `i`, on a [tile, m] d tile (however it was produced)."""
+    w = jnp.exp(level * d)
 
-            suml = 1e-9 + jnp.sum(w * remain_r[i:i + 1, :], axis=1,
-                                  keepdims=True)
-            rl = remain_l[rs, i:i + 1] / suml      # [tile, 1]
-            ratio_l[rs, i:i + 1] = rl
-            sumr_acc[i:i + 1, :] += jnp.sum(rl * w, axis=0, keepdims=True)
+    @pl.when(phase == 0)
+    def _phase_a():
+        @pl.when((lvl == 0) & (t == 0))
+        def _init_cost():
+            cost[0, i] = 0.0
 
-        @pl.when(phase == 1)
-        def _phase_b(i=i, d=d, w=w):
-            @pl.when(t == 0)
-            def _close_level():
-                sumr = sumr_acc[i:i + 1, :] * remain_r[i:i + 1, :]
-                sumr_acc[i:i + 1, :] = sumr        # reuse as the sumr value
-                consumption = jnp.minimum(
-                    remain_r[i:i + 1, :] / (sumr + 1e-9), 1.0)
-                ratio_r[i:i + 1, :] = consumption * remain_r[i:i + 1, :]
+        @pl.when(lvl == 0)
+        def _init_rows():
+            remain_l[rs, i:i + 1] = jnp.ones((tile, 1), jnp.float32)
 
-            dist = jnp.sqrt(jnp.maximum(d, 1e-20))
-            rl = ratio_l[rs, i:i + 1]
-            rr = ratio_r[i:i + 1, :]
-            cost[0, i] += jnp.sum((w * dist) * rl * rr)
-            wr = jnp.sum(w * rr, axis=1, keepdims=True)
-            remain_l[rs, i:i + 1] = jnp.maximum(
-                0.0, remain_l[rs, i:i + 1] - rl * wr)
+        suml = 1e-9 + jnp.sum(w * remain_r[i:i + 1, :], axis=1,
+                              keepdims=True)
+        rl = remain_l[rs, i:i + 1] / suml          # [tile, 1]
+        ratio_l[rs, i:i + 1] = rl
+        sumr_acc[i:i + 1, :] += jnp.sum(rl * w, axis=0, keepdims=True)
 
-            @pl.when(t == n_tiles - 1)
-            def _end_level():
-                remain_r[i:i + 1, :] = jnp.maximum(
-                    0.0, remain_r[i:i + 1, :] - sumr_acc[i:i + 1, :])
+    @pl.when(phase == 1)
+    def _phase_b():
+        @pl.when(t == 0)
+        def _close_level():
+            sumr = sumr_acc[i:i + 1, :] * remain_r[i:i + 1, :]
+            sumr_acc[i:i + 1, :] = sumr            # reuse as the sumr value
+            consumption = jnp.minimum(
+                remain_r[i:i + 1, :] / (sumr + 1e-9), 1.0)
+            ratio_r[i:i + 1, :] = consumption * remain_r[i:i + 1, :]
 
-                @pl.when(lvl == 8)
-                def _emit():
-                    # o_ref is the WHOLE [P, 1] SMEM buffer (constant
-                    # index_map — a (1, 1) block fails Mosaic's
-                    # block-mapping check even in SMEM); scalar dynamic
-                    # store per pair
-                    o_ref[blk * pairs + i, 0] = cost[0, i]
+        dist = jnp.sqrt(jnp.maximum(d, 1e-20))
+        rl = ratio_l[rs, i:i + 1]
+        rr = ratio_r[i:i + 1, :]
+        cost[0, i] += jnp.sum((w * dist) * rl * rr)
+        wr = jnp.sum(w * rr, axis=1, keepdims=True)
+        remain_l[rs, i:i + 1] = jnp.maximum(
+            0.0, remain_l[rs, i:i + 1] - rl * wr)
+
+        @pl.when(t == n_tiles - 1)
+        def _end_level():
+            remain_r[i:i + 1, :] = jnp.maximum(
+                0.0, remain_r[i:i + 1, :] - sumr_acc[i:i + 1, :])
+
+            @pl.when(lvl == 8)
+            def _emit():
+                # o_ref is the WHOLE [P, 1] SMEM buffer (constant
+                # index_map — a (1, 1) block fails Mosaic's
+                # block-mapping check even in SMEM); scalar dynamic
+                # store per pair
+                o_ref[blk * pairs + i, 0] = cost[0, i]
+
+
+def _approx_match_cost_otf_kernel(x_ref, y_ref, o_ref, remain_l, ratio_l,
+                                  remain_r, sumr_acc, ratio_r, cost, *,
+                                  n: int, m: int, tile: int, pairs: int):
+    """On-the-fly-d variant: clouds in VMEM, each [tile, m] d tile built per
+    use with one k=3 MXU dot (chamfer.py::_pairwise_cd_kernel pattern) —
+    zero [N, M] HBM traffic."""
+    blk = pl.program_id(0)
+    lvl = pl.program_id(1)
+    phase = pl.program_id(2)
+    t = pl.program_id(3)
+    n_tiles = n // tile
+    level = -jnp.exp2(2.0 * (7.0 - lvl.astype(jnp.float32)))  # -4^(7-l)
+    rs = pl.ds(t * tile, tile)
+
+    @pl.when((lvl == 0) & (phase == 0) & (t == 0))
+    def _init_blk():
+        remain_r[...] = jnp.ones((pairs, m), jnp.float32)
+
+    @pl.when((phase == 0) & (t == 0))
+    def _init_level():
+        sumr_acc[...] = jnp.zeros((pairs, m), jnp.float32)
+
+    for i in range(pairs):
+        y = y_ref[i]                               # [m, 3] f32 (VMEM)
+        xt = x_ref[i, pl.ds(t * tile, tile), :]    # [tile, 3]
+        d = (jnp.sum(xt * xt, axis=-1)[:, None]
+             - 2.0 * jax.lax.dot_general(
+                 xt, y, (((1,), (1,)), ((), ())),
+                 preferred_element_type=jnp.float32)
+             + jnp.sum(y * y, axis=-1)[None, :])   # [tile, m]
+        d = jnp.maximum(d, 0.0)
+        _emd_pair_step(d, i, level, blk, lvl, phase, t, n_tiles, rs, tile,
+                       o_ref, remain_l, ratio_l, remain_r, sumr_acc,
+                       ratio_r, cost, pairs)
 
 
 def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
@@ -446,35 +497,61 @@ def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
     m = x2.shape[1]
     tile = _EMD_TILE
     pairs = max(1, min(_EMD_PAIRS, p))
+    pad = (pairs - p % pairs) % pairs
+    p_pad = p + pad
+    scratch = [
+        pltpu.VMEM((n, pairs), jnp.float32),   # remain_l (col / pair)
+        pltpu.VMEM((n, pairs), jnp.float32),   # ratio_l (col / pair)
+        pltpu.VMEM((pairs, m), jnp.float32),   # remain_r (row / pair)
+        pltpu.VMEM((pairs, m), jnp.float32),   # sumr acc / sumr value
+        pltpu.VMEM((pairs, m), jnp.float32),   # ratio_r (row / pair)
+        pltpu.SMEM((1, pairs), jnp.float32),   # cost
+    ]
+    # scalar per-pair outputs: whole-array SMEM block (block shape ==
+    # array shape satisfies Mosaic's block-mapping check; (1, 1) blocks
+    # are rejected in both VMEM and SMEM), written by dynamic scalar
+    # index in _emit
+    out_spec = pl.BlockSpec((p_pad, 1), lambda pp, ll, ph, tt: (0, 0),
+                            memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((p_pad, 1), jnp.float32)
+    grid = (p_pad // pairs, 9, 2, n // tile)
+    if _EMD_OTF:
+        # pad the pair axis with zero clouds; d = 0 anneals to finite junk
+        # costs the [:p] slice below discards (exp(level*0)=1, no NaN path)
+        xp = x1.astype(jnp.float32)
+        yp = x2.astype(jnp.float32)
+        if pad:
+            xp = jnp.concatenate([xp, jnp.zeros((pad, n, 3), jnp.float32)])
+            yp = jnp.concatenate([yp, jnp.zeros((pad, m, 3), jnp.float32)])
+        kernel = functools.partial(_approx_match_cost_otf_kernel, n=n, m=m,
+                                   tile=tile, pairs=pairs)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((pairs, n, 3), lambda pp, ll, ph, tt: (pp, 0, 0)),
+                pl.BlockSpec((pairs, m, 3), lambda pp, ll, ph, tt: (pp, 0, 0)),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xp, yp)
+        return out[:p, 0]
     d = jnp.maximum(square_distance(x1, x2), 0.0).astype(jnp.float32)
-    if p % pairs:
-        # pad the pair axis; d = 0 rows anneal to finite junk costs that
-        # the [:p] slice below discards (exp(level * 0) = 1, no NaN path)
-        pad = pairs - p % pairs
+    if pad:
+        # see the OTF branch note on zero-padded pairs
         d = jnp.concatenate([d, jnp.zeros((pad, n, m), jnp.float32)], 0)
-    p_pad = d.shape[0]
     kernel = functools.partial(_approx_match_cost_kernel, n=n, m=m,
                                tile=tile, pairs=pairs)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
-        grid=(p_pad // pairs, 9, 2, n // tile),
+        out_shape=out_shape,
+        grid=grid,
         in_specs=[pl.BlockSpec((pairs, tile, m),
                                lambda pp, ll, ph, tt: (pp, tt, 0))],
-        # scalar per-pair outputs: whole-array SMEM block (block shape ==
-        # array shape satisfies Mosaic's block-mapping check; (1, 1)
-        # blocks are rejected in both VMEM and SMEM), written by dynamic
-        # scalar index in _emit
-        out_specs=pl.BlockSpec((p_pad, 1), lambda pp, ll, ph, tt: (0, 0),
-                               memory_space=pltpu.SMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n, pairs), jnp.float32),   # remain_l (col / pair)
-            pltpu.VMEM((n, pairs), jnp.float32),   # ratio_l (col / pair)
-            pltpu.VMEM((pairs, m), jnp.float32),   # remain_r (row / pair)
-            pltpu.VMEM((pairs, m), jnp.float32),   # sumr acc / sumr value
-            pltpu.VMEM((pairs, m), jnp.float32),   # ratio_r (row / pair)
-            pltpu.SMEM((1, pairs), jnp.float32),   # cost
-        ],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(d)
     return out[:p, 0]

@@ -271,16 +271,20 @@ def test_pairwise_cd_pallas_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("pairs", [1, 2, 4])
-def test_approx_match_pallas_matches_xla(rng, pairs, monkeypatch):
+@pytest.mark.parametrize("pairs,otf", [(1, False), (2, False), (4, False),
+                                       (1, True), (4, True)])
+def test_approx_match_pallas_matches_xla(rng, pairs, otf, monkeypatch):
     """The streaming Pallas eval-EMD kernel (interpret mode on CPU) must
     match the XLA cost-only form: identical per-level math, only
     reduction/streaming order differs at f32 rounding. pairs > 1 exercises
     the pair-batched grid (LDT_EMD_PALLAS_PAIRS) including the padded tail
-    (p=3 is not a multiple of 2 or 4)."""
+    (p=3 is not a multiple of 2 or 4); otf exercises the on-the-fly-d
+    variant (LDT_EMD_PALLAS_OTF) whose d tiles come from in-kernel MXU
+    dots instead of a streamed [P, N, M] tensor."""
     from ldt_tpu.ops import emd as emd_mod
 
     monkeypatch.setattr(emd_mod, "_EMD_PAIRS", pairs)
+    monkeypatch.setattr(emd_mod, "_EMD_OTF", otf)
     n = emd_mod._EMD_TILE * 2  # two row tiles
     x = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
     y = rng.uniform(0, 1, size=(3, n, 3)).astype(np.float32)
