@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--emd-only", action="store_true",
+                    help="skip the CD-only row (it does not depend on the "
+                         "EMD kernel variant under test)")
     args = ap.parse_args()
 
     import numpy as np
@@ -41,8 +44,11 @@ def main():
     b /= np.linalg.norm(b, axis=-1, keepdims=True)
     pairs = args.num * args.num
 
-    for name, fn in (("CD", lambda: pairwise_CD(a, b, args.batch)),
-                     ("CD+EMD", lambda: pairwise_EMD_CD(a, b, args.batch))):
+    rows = [("CD", lambda: pairwise_CD(a, b, args.batch)),
+            ("CD+EMD", lambda: pairwise_EMD_CD(a, b, args.batch))]
+    if args.emd_only:
+        rows = rows[1:]
+    for name, fn in rows:
         out = fn()
         jax.block_until_ready(jax.tree_util.tree_leaves(out))
         t0 = time.perf_counter()

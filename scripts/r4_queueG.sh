@@ -54,6 +54,12 @@ run_pairs "pallas-pt1-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=1 LDT_
 run_pairs "pallas-pt2-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2 LDT_EMD_PALLAS_TILE=256
 run_pairs "pallas-pt4-t128"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=128
 run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_EMD_PALLAS_TILE=64
+# on-the-fly d (clouds in VMEM, zero [N,M] HBM traffic; tile can grow since
+# no d blocks are double-buffered — VMEM holds only clouds + state)
+run_pairs "otf-pt1-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=1
+run_pairs "otf-pt2-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=2
+run_pairs "otf-pt4-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4
+run_pairs "otf-pt4-t512"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=512
 # round-4 per-pair CD kernel: committed but never measured on TPU (the
 # container reset ate queue F2) — CD row is the number that moves here
 run_pairs "cd-pallas"          LDT_EVAL_CD_PALLAS=1
