@@ -13,11 +13,13 @@ cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/queueG.log
 mark() { echo "=== $* $(date -u +%H:%M:%S) ===" | tee -a "$LOG"; }
 
-run_pairs() { # name, env...
+run_pairs() { # name, then env assignments and/or --flags for the script
   local name=$1; shift
+  local envs=() extra=()
+  for a in "$@"; do case $a in --*) extra+=("$a");; *) envs+=("$a");; esac; done
   mark "eval-pairs $name"
-  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 "$@" timeout 1200 \
-      python scripts/bench_eval_pairs.py >> "$LOG" 2>&1
+  env JAX_PLATFORMS= PYTHONUNBUFFERED=1 ${envs[@]+"${envs[@]}"} timeout 1200 \
+      python scripts/bench_eval_pairs.py ${extra[@]+"${extra[@]}"} >> "$LOG" 2>&1
   mark "eval-pairs $name rc=$?"
 }
 
@@ -50,16 +52,18 @@ EOF
 mark "parity rc=$?"
 
 run_pairs "xla-control"        LDT_EVAL_EMD_PALLAS=0
-run_pairs "pallas-pt1-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=1 LDT_EMD_PALLAS_TILE=256
-run_pairs "pallas-pt2-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2 LDT_EMD_PALLAS_TILE=256
-run_pairs "pallas-pt4-t128"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=128
-run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_EMD_PALLAS_TILE=64
+# EMD sweep points skip the CD row (--emd-only): the CD tile does not
+# depend on the EMD kernel variant, and each CD row costs a remote compile
+run_pairs "pallas-pt1-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=1 LDT_EMD_PALLAS_TILE=256 --emd-only
+run_pairs "pallas-pt2-t256"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=2 LDT_EMD_PALLAS_TILE=256 --emd-only
+run_pairs "pallas-pt4-t128"    LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=128 --emd-only
+run_pairs "pallas-pt8-t64"     LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_PAIRS=8 LDT_EMD_PALLAS_TILE=64 --emd-only
 # on-the-fly d (clouds in VMEM, zero [N,M] HBM traffic; tile can grow since
 # no d blocks are double-buffered — VMEM holds only clouds + state)
-run_pairs "otf-pt1-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=1
-run_pairs "otf-pt2-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=2
-run_pairs "otf-pt4-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4
-run_pairs "otf-pt4-t512"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=512
+run_pairs "otf-pt1-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=1 --emd-only
+run_pairs "otf-pt2-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=2 --emd-only
+run_pairs "otf-pt4-t256"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4 --emd-only
+run_pairs "otf-pt4-t512"       LDT_EVAL_EMD_PALLAS=1 LDT_EMD_PALLAS_OTF=1 LDT_EMD_PALLAS_PAIRS=4 LDT_EMD_PALLAS_TILE=512 --emd-only
 # round-4 per-pair CD kernel: committed but never measured on TPU (the
 # container reset ate queue F2) — CD row is the number that moves here
 run_pairs "cd-pallas"          LDT_EVAL_CD_PALLAS=1
