@@ -286,23 +286,54 @@ class Attention(nn.Module):
         dense_kv = Dense(2 * d, dtype=self.dtype, name="fc_kv")
         att = None
         fused_core = self.fused_core and not self.ref_merge
-        if (fused_core and x is y and not self.is_initializing()):
+        tp_mesh = None
+        if fused_core:
+            # Under a tensor-parallel `model` axis, GSPMD REPLICATES a Pallas
+            # custom call it cannot partition — so the fused core is only
+            # used where it can run shard-locally: the packed self-attention
+            # path with whole heads per shard (fused_attention_packed_tp).
+            # Anything else (cross-attention, non-dividing heads) falls back
+            # to XLA attention, which partitions cleanly.
+            from ldt_tpu.parallel.tp import attention_tp_mesh
+
+            tp_mesh = attention_tp_mesh()
+        packed = fused_core and x is y and not self.is_initializing()
+        if tp_mesh is not None:
+            from ldt_tpu.ops.pallas_attention import tp_attention_supported
+
+            if not (packed and tp_attention_supported(h, d, tp_mesh)):
+                packed = False
+                fused_core = False
+        if packed:
             # self-attention fast path: q and kv come from the SAME input, so
             # run one [D, 3D] GEMM against the concatenated kernels instead
             # of two launches (param tree unchanged: kernels read from the
             # fc_q/fc_kv Dense scopes created during init), and hand the
             # PACKED output straight to the Pallas kernel — no lane-slice
             # ops, no materialized q/k/v copies.
-            from ldt_tpu.ops.pallas_attention import fused_attention_packed
+            from ldt_tpu.ops.pallas_attention import (
+                fused_attention_packed, fused_attention_packed_tp)
 
             pq = self.get_variable("params", "fc_q")
             pkv = self.get_variable("params", "fc_kv")
-            w = jnp.concatenate([pq["kernel"], pkv["kernel"]],
-                                axis=1).astype(self.dtype)
-            bias = jnp.concatenate([pq["bias"], pkv["bias"]]).astype(self.dtype)
-            qkv = x.astype(self.dtype) @ w + bias
-            att = fused_attention_packed(qkv, h,
-                                         jax.default_backend() != "tpu")
+            interp = jax.default_backend() != "tpu"
+            if tp_mesh is not None:
+                # per-shard packing: a GLOBAL [D,3D] concat would interleave
+                # q/kv channels across model shards (see the TP wrapper)
+                att = fused_attention_packed_tp(
+                    x.astype(self.dtype),
+                    pq["kernel"].astype(self.dtype),
+                    pq["bias"].astype(self.dtype),
+                    pkv["kernel"].astype(self.dtype),
+                    pkv["bias"].astype(self.dtype),
+                    h, tp_mesh, interp)
+            else:
+                w = jnp.concatenate([pq["kernel"], pkv["kernel"]],
+                                    axis=1).astype(self.dtype)
+                bias = jnp.concatenate([pq["bias"],
+                                        pkv["bias"]]).astype(self.dtype)
+                qkv = x.astype(self.dtype) @ w + bias
+                att = fused_attention_packed(qkv, h, interp)
         else:
             q = dense_q(x)        # [B, N, D]
             kv = dense_kv(y)      # [B, M, 2D]

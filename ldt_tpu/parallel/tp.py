@@ -61,6 +61,27 @@ def has_model_axis(mesh: Optional[Mesh]) -> bool:
             and mesh.shape["model"] > 1)
 
 
+# --- attention TP-mesh registry -------------------------------------------
+# Same discipline as eval/metrics.py::set_eval_mesh and sp.py::set_sp_mesh:
+# trainers register their mesh at construction, BEFORE any jit traces an
+# attention module, because nn/layers.py::Attention reads the registry at
+# trace time to route the packed self-attention fast path through
+# ops/pallas_attention.py::fused_attention_packed_tp (per-model-shard
+# shard_map — whole heads per shard, zero extra collectives).
+_TP_MESH: Optional[Mesh] = None
+
+
+def set_tp_mesh(mesh: Optional[Mesh]) -> None:
+    """Register (or clear, with None) the mesh attention shards over."""
+    global _TP_MESH
+    _TP_MESH = mesh
+
+
+def attention_tp_mesh() -> Optional[Mesh]:
+    """The registered mesh when it has a real model axis, else None."""
+    return _TP_MESH if has_model_axis(_TP_MESH) else None
+
+
 def _spec_for(path_keys, leaf, model_size: int) -> P:
     """PartitionSpec for one param leaf (see module docstring)."""
     keys = [str(k) for k in path_keys]

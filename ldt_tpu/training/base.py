@@ -43,12 +43,17 @@ class BaseTrainer:
             # state (a fresh 1-D mesh would conflict with 2-D TP placement)
             from ldt_tpu.eval.metrics import set_eval_mesh
             from ldt_tpu.parallel.sp import set_sp_mesh
+            from ldt_tpu.parallel.tp import set_tp_mesh
 
             set_eval_mesh(mesh)
             # sequence-parallel decode: the compressor's point axis shards
             # over the mesh's `model` axis (parallel/sp.py). Registered
             # before any jit traces the decode.
             set_sp_mesh(mesh)
+            # tensor-parallel attention: the packed self-attention fast path
+            # runs per model shard via shard_map (parallel/tp.py registry,
+            # read by nn/layers.py::Attention at trace time).
+            set_tp_mesh(mesh)
         self.lr_fn = make_lr_fn(cfg.opt.lr, cfg.opt.warmup_iters,
                                 cfg.common.epochs)
         self.base_lr = cfg.opt.lr  # mutable: NaN watchdog halves it

@@ -81,18 +81,26 @@ class Trainer(BaseTrainer):
         self.SDE = make_diffusion(cfg.sde)
         self.sde_type = cfg.sde.sde_type
         self.num_points = cfg.data.tr_max_sample_points
-        # On TPU (and without tensor parallelism — the Pallas kernel assumes
-        # unsharded heads) rebuild the nets with the fused attention core.
-        # Round 2: the core has a custom VJP (Pallas backward kernel), so the
-        # TRAINING step uses it too — param trees are identical either way.
-        fused = (jax.default_backend() == "tpu"
-                 and not has_model_axis(self.mesh))
+        # On TPU rebuild the nets with the fused attention core. Round 2: the
+        # core has a custom VJP (Pallas backward kernel), so the TRAINING
+        # step uses it too — param trees are identical either way. Round 4:
+        # fused stays ON under tensor parallelism — the Attention module
+        # routes the packed self-attention path through a per-model-shard
+        # shard_map (ops/pallas_attention.py::fused_attention_packed_tp,
+        # whole heads per shard) and itself falls back to XLA for anything
+        # the TP path can't shard (cross-attention, non-dividing heads), so
+        # multi-chip serving no longer loses the DiT fast path.
+        fused = jax.default_backend() == "tpu"
         # The TRAINING model's attention backend is separately gated: the
         # Pallas bwd kernel measured 0.445 ms/block in the flagship train
         # step (11 ms/step, 19% of device time) — profile it against XLA
         # autodiff attention with LDT_TRAIN_FUSED=0 (sampling keeps the
-        # fused fwd core either way).
-        train_fused = fused and os.environ.get("LDT_TRAIN_FUSED", "1") == "1"
+        # fused fwd core either way). Under TP the train step stays on XLA
+        # attention (conservative: the fused-bwd compile wedge below has
+        # never been probed through shard_map; sampling is where the fast
+        # path pays).
+        train_fused = (fused and not has_model_axis(self.mesh)
+                       and os.environ.get("LDT_TRAIN_FUSED", "1") == "1")
         if train_fused:
             # 2026-08-19 tunnel-side compiler: the fused-bwd FLAGSHIP update
             # compile can hang indefinitely (CLAUDE.md round-4 wedge). Tell

@@ -254,12 +254,14 @@ class TestTensorParallel:
         out2 = jax.jit(sp_shard)(jnp.ones((8, 64, 16)))
         assert np.asarray(out2).sum() == 8 * 64 * 16
 
-    def test_tp_serving_gate_takes_xla_fallback(self, tmp_path, monkeypatch):
-        """The TP-serving cliff, bounded structurally (VERDICT r3 #8):
-        with a model axis the trainer must rebuild its nets WITHOUT the
-        Pallas attention core (GSPMD replicates the custom call instead of
-        partitioning it) and with one axis it must take the fused core on
-        TPU. The gate reads jax.default_backend() — simulate TPU."""
+    def test_tp_serving_gate_keeps_fused_sampling(self, tmp_path,
+                                                  monkeypatch):
+        """The TP-serving gate (VERDICT r3 #8, upgraded round 4): with a
+        model axis the SAMPLING nets keep the fused core (the Attention
+        module routes the packed self-attention path through a
+        per-model-shard shard_map and falls back to XLA for everything
+        else), while the TRAIN model stays on XLA attention. The gate reads
+        jax.default_backend() — simulate TPU."""
         from ldt_tpu.models import Compressor, Score
         from ldt_tpu.training import latent_sde_trainer
         from tests.test_training import make_cfg
@@ -269,8 +271,9 @@ class TestTensorParallel:
         cfg = self._cfg(tmp_path)  # model_parallel=2
         tr = latent_sde_trainer.Trainer(cfg, Score(cfg.score),
                                         Compressor(cfg.compressor))
-        assert tr.model.fused_attention is False
-        assert tr.compressor.fused_attention is False
+        assert tr.model.fused_attention is False  # train step: XLA under TP
+        assert tr.compressor.fused_attention is True
+        assert tr.sample_model.fused_attention is True
 
         cfg1 = make_cfg(tmp_path / "mp1")
         tr1 = latent_sde_trainer.Trainer(cfg1, Score(cfg1.score),
@@ -347,3 +350,147 @@ class TestTensorParallel:
                 l2 = tr.update(batch)
             losses.append((float(l1), float(l2)))
         np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4)
+
+
+class TestTPFusedAttention:
+    """The per-model-shard packed attention path (round 4): the Megatron
+    layout is head-aligned, so `fused_attention_packed_tp` runs the Pallas
+    kernel shard-locally under shard_map instead of letting GSPMD replicate
+    the custom call (ops/pallas_attention.py). These tests pin (a) numerical
+    equality with the XLA module on a real 2x4 mesh, (b) that the TP path is
+    actually taken, (c) gradients flow through the shard_map, and (d) the
+    unsupported shapes fall back to XLA, never to a replicated custom call."""
+
+    D, H, B, N = 512, 8, 4, 8  # (D//4) % 128 == 0, H % 4 == 0
+
+    def _mesh(self):
+        from ldt_tpu.parallel.tp import make_mesh
+        return make_mesh(4)  # {data: 2, model: 4}
+
+    def _mod(self, fused):
+        from ldt_tpu.nn.layers import Attention
+        return Attention(self.D, self.H, fused_core=fused)
+
+    def test_packed_tp_matches_xla_module(self, monkeypatch):
+        from ldt_tpu.nn import layers as layers_mod
+        from ldt_tpu.ops import pallas_attention as pa
+        from ldt_tpu.parallel.tp import set_tp_mesh
+
+        x = jax.random.normal(jax.random.key(0), (self.B, self.N, self.D))
+        variables = self._mod(False).init(jax.random.key(1), x, x)
+        want = self._mod(False).apply(variables, x, x)
+
+        calls = []
+        orig = pa.fused_attention_packed_tp
+
+        def spy(*args, **kw):
+            calls.append(1)
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(pa, "fused_attention_packed_tp", spy)
+        mesh = self._mesh()
+        set_tp_mesh(mesh)
+        try:
+            with mesh:
+                got = jax.jit(
+                    lambda v, x: self._mod(True).apply(v, x, x))(variables, x)
+        finally:
+            set_tp_mesh(None)
+        assert calls, "TP packed path was not taken"
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_packed_tp_grads_match_xla_module(self):
+        from ldt_tpu.parallel.tp import set_tp_mesh
+
+        x = jax.random.normal(jax.random.key(2), (self.B, self.N, self.D))
+        variables = self._mod(False).init(jax.random.key(3), x, x)
+
+        def loss(mod):
+            return lambda v, x: jnp.sum(mod.apply(v, x, x) ** 2)
+
+        g_want = jax.grad(loss(self._mod(False)))(variables, x)
+        mesh = self._mesh()
+        set_tp_mesh(mesh)
+        try:
+            with mesh:
+                g_got = jax.jit(jax.grad(loss(self._mod(True))))(variables, x)
+        finally:
+            set_tp_mesh(None)
+        flat_w, _ = jax.tree_util.tree_flatten(g_want)
+        flat_g, _ = jax.tree_util.tree_flatten(g_got)
+        for a, b in zip(flat_w, flat_g):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_unsupported_heads_fall_back_to_xla(self, monkeypatch):
+        """H=6 does not divide model=4: the module must take the XLA einsum
+        path (NOT the single-chip Pallas custom call, which GSPMD would
+        replicate across the mesh)."""
+        from ldt_tpu.nn.layers import Attention
+        from ldt_tpu.ops import pallas_attention as pa
+        from ldt_tpu.parallel.tp import set_tp_mesh
+
+        d, h = 384, 6
+        x = jax.random.normal(jax.random.key(4), (self.B, self.N, d))
+        mod = Attention(d, h, fused_core=True)
+        ref = Attention(d, h, fused_core=False)
+        variables = ref.init(jax.random.key(5), x, x)
+        want = ref.apply(variables, x, x)
+
+        def boom(*a, **k):
+            raise AssertionError("Pallas path must not run under TP "
+                                 "with non-dividing heads")
+
+        monkeypatch.setattr(pa, "fused_attention_packed", boom)
+        monkeypatch.setattr(pa, "fused_attention", boom)
+        monkeypatch.setattr(pa, "fused_attention_packed_tp", boom)
+        mesh = self._mesh()
+        set_tp_mesh(mesh)
+        try:
+            with mesh:
+                got = jax.jit(lambda v, x: mod.apply(v, x, x))(variables, x)
+        finally:
+            set_tp_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_cross_attention_under_tp_takes_xla(self, monkeypatch):
+        """Cross-attention (x is not y) under a model axis must fall back to
+        XLA even when heads divide — only the packed self-attention path is
+        TP-sharded."""
+        from ldt_tpu.ops import pallas_attention as pa
+        from ldt_tpu.parallel.tp import set_tp_mesh
+
+        x = jax.random.normal(jax.random.key(6), (self.B, self.N, self.D))
+        y = jax.random.normal(jax.random.key(7), (self.B, 16, self.D))
+        mod = self._mod(True)
+        ref = self._mod(False)
+        variables = ref.init(jax.random.key(8), x, y)
+        want = ref.apply(variables, x, y)
+
+        def boom(*a, **k):
+            raise AssertionError("cross-attention must not hit Pallas "
+                                 "under TP")
+
+        monkeypatch.setattr(pa, "fused_attention", boom)
+        monkeypatch.setattr(pa, "fused_attention_packed_tp", boom)
+        mesh = self._mesh()
+        set_tp_mesh(mesh)
+        try:
+            with mesh:
+                got = jax.jit(lambda v, x, y: mod.apply(v, x, y))(
+                    variables, x, y)
+        finally:
+            set_tp_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_supported_predicate(self):
+        from ldt_tpu.ops.pallas_attention import tp_attention_supported
+
+        mesh = self._mesh()
+        assert tp_attention_supported(8, 512, mesh)
+        assert not tp_attention_supported(6, 512, mesh)   # heads don't divide
+        assert not tp_attention_supported(8, 256, mesh)   # 64-lane local D
+        assert not tp_attention_supported(8, 512, None)
