@@ -140,10 +140,16 @@ def _pairwise_cd_kernel(x_ref, y_ref, o_ref, *, n: int, m: int, tile: int):
     total = jnp.zeros((), jnp.float32)
     for t in range(n // tile):
         xt = x[t * tile:(t + 1) * tile, :]
+        # HIGHEST precision on the k=3 dot: Mosaic's default single-bf16
+        # MXU pass gives d ~3 decimal digits of accuracy, and CD's min is
+        # taken over NEAR-neighbor distances (~1e-3 for 2048-point unit
+        # clouds) — measured 1.6e-1 rel error on v5e without it (2026-08-20
+        # parity run). square_distance() makes the same choice.
         d = (jnp.sum(xt * xt, axis=-1)[:, None]
              - 2.0 * jax.lax.dot_general(
                  xt, y, (((1,), (1,)), ((), ())),
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
              + ysq)                                # [tile, M]
         d = jnp.maximum(d, 0.0)
         # keepdims: a 1-D [tile] min-reduce result trips a Mosaic relayout
@@ -176,14 +182,38 @@ def pairwise_cd_means_pallas(x: jax.Array, y: jax.Array,
     return out[:, 0]
 
 
-def use_cd_pallas(n: int, m: int) -> bool:
-    """Gate for the eval-tile caller (TPU, aligned shapes, single device —
-    GSPMD would replicate the custom call under a mesh)."""
-    if os.environ.get("LDT_EVAL_CD_PALLAS", "0") != "1":
-        return False
+def eval_pallas_single_tpu() -> bool:
+    """Shared gate condition for the eval-tile Pallas kernels (this CD
+    kernel and ops/emd.py's streaming EMD kernel): TPU backend AND a
+    single-device eval — a multi-device eval mesh shards the pair tiles,
+    and GSPMD would REPLICATE a Pallas custom call instead of partitioning
+    it (same limitation as the attention core under TP)."""
+    try:
+        # lazy: eval.metrics imports this module
+        from ldt_tpu.eval.metrics import _EVAL_MESH
+        if _EVAL_MESH is not None:
+            if _EVAL_MESH.size > 1:
+                return False
+        elif jax.device_count() > 1:
+            # no registered eval mesh, but _pair_block falls back to a
+            # data_mesh() over ALL devices and shards the pair tiles
+            return False
+    except Exception:  # pragma: no cover
+        pass
     try:
         import jax.extend as jex
         backend = jex.backend.get_backend().platform
     except Exception:  # pragma: no cover
         backend = jax.default_backend()
-    return (backend == "tpu" and n % 256 == 0 and m % 128 == 0)
+    return backend == "tpu"
+
+
+def use_cd_pallas(n: int, m: int) -> bool:
+    """Gate for the eval-tile caller (TPU, aligned shapes, single device).
+
+    DEFAULT ON since 2026-08-20: 2050 pairs/s vs 1796 XLA on the v5e eval
+    tiles (+14%), on-device parity vs the XLA tiles recorded in
+    docs/sampler_profile.md. LDT_EVAL_CD_PALLAS=0 restores the XLA form."""
+    if os.environ.get("LDT_EVAL_CD_PALLAS", "1") != "1":
+        return False
+    return eval_pallas_single_tpu() and n % 256 == 0 and m % 128 == 0

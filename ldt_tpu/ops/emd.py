@@ -368,6 +368,14 @@ _EMD_PAIRS = int(os.environ.get("LDT_EMD_PALLAS_PAIRS", "1"))
 # materialized at all (saves its HBM write + the 18 reads per pair AND the
 # 1.6 GB pair-tile temp budget that caps eval tile sizes).
 _EMD_OTF = os.environ.get("LDT_EMD_PALLAS_OTF", "0") == "1"
+# MXU passes for the OTF k=3 dot. Mosaic's DEFAULT single-bf16 pass gives d
+# ~3 decimal digits and exp(level*d) at level -4^7 turns that into ~4e-2
+# COST error (v5e, 2026-08-20 parity run); Precision.HIGH is not lowerable
+# by Mosaic ("Unsupported dot precision"), so HIGHEST is the only correct
+# option. The recompute runs 18x per pair, which is why the accurate OTF
+# variant (545 pairs/s) loses to the HBM-streaming kernel (718) — see
+# docs/sampler_profile.md.
+_OTF_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _approx_match_cost_kernel(d_ref, o_ref, remain_l, ratio_l, remain_r,
@@ -479,10 +487,13 @@ def _approx_match_cost_otf_kernel(x_ref, y_ref, o_ref, remain_l, ratio_l,
     for i in range(pairs):
         y = y_ref[i]                               # [m, 3] f32 (VMEM)
         xt = x_ref[i, pl.ds(t * tile, tile), :]    # [tile, 3]
+        # raised precision on the k=3 dot — see _OTF_PRECISION above;
+        # square_distance() makes the same choice for the same reason
         d = (jnp.sum(xt * xt, axis=-1)[:, None]
              - 2.0 * jax.lax.dot_general(
                  xt, y, (((1,), (1,)), ((), ())),
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=_OTF_PRECISION)
              + jnp.sum(y * y, axis=-1)[None, :])   # [tile, m]
         d = jnp.maximum(d, 0.0)
         _emd_pair_step(d, i, level, blk, lvl, phase, t, n_tiles, rs, tile,
@@ -558,29 +569,14 @@ def _approx_match_cost_pallas(x1: jax.Array, x2: jax.Array,
 
 
 def _use_emd_pallas(n: int, m: int) -> bool:
-    if os.environ.get("LDT_EVAL_EMD_PALLAS", "0") != "1":
+    # DEFAULT ON since 2026-08-20: the HBM-streaming kernel measured 718
+    # pairs/s vs 521 XLA on the v5e eval tiles (pairs=1/tile=256, the
+    # default operating point; +38%) with on-device parity 9.6e-7 vs the
+    # XLA form. LDT_EVAL_EMD_PALLAS=0 restores the XLA tiles.
+    if os.environ.get("LDT_EVAL_EMD_PALLAS", "1") != "1":
         return False
-    try:
-        # a multi-device eval mesh shards the pair tiles; a Pallas custom
-        # call would be REPLICATED by GSPMD, not partitioned (same
-        # limitation as the attention core under TP) — take the XLA form
-        from ldt_tpu.eval.metrics import _EVAL_MESH  # lazy: import cycle
-        if _EVAL_MESH is not None:
-            if _EVAL_MESH.size > 1:
-                return False
-        elif jax.device_count() > 1:
-            # no registered eval mesh, but _pair_block falls back to a
-            # data_mesh() over ALL devices and shards the pair tiles —
-            # same replication hazard as a registered multi-device mesh
-            return False
-    except Exception:  # pragma: no cover
-        pass
-    try:
-        import jax.extend as jex
-        backend = jex.backend.get_backend().platform
-    except Exception:  # pragma: no cover
-        backend = jax.default_backend()
-    return (backend == "tpu" and n == m and n % _EMD_TILE == 0
+    from ldt_tpu.ops.chamfer import eval_pallas_single_tpu  # shared gate
+    return (eval_pallas_single_tpu() and n == m and n % _EMD_TILE == 0
             and m % 128 == 0)
 
 
