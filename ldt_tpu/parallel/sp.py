@@ -16,10 +16,12 @@ Same registry discipline as eval/metrics.py::set_eval_mesh: trainers register
 their mesh at construction (training/base.py), i.e. BEFORE any jit traces the
 decode, because `sp_shard` reads the registry at trace time.
 
-Note: the Pallas fused-attention core is a custom call GSPMD replicates
-rather than partitions; SP therefore pays a reshard around it. The XLA
-attention path (fused_attention=False, the multi-chip default) partitions
-cleanly. Single-chip (or no model axis): every constraint is a no-op.
+Note: under a model axis the Attention module keeps the Pallas core only
+for the packed SELF-attention path (per-model-shard shard_map, see
+ops/pallas_attention.py::fused_attention_packed_tp); the decode's
+cross-attention falls back to XLA inside the module, which partitions
+cleanly under these SP constraints — no reshard around a replicated
+custom call. Single-chip (or no model axis): every constraint is a no-op.
 """
 
 from __future__ import annotations
