@@ -1,0 +1,72 @@
+"""End-to-end `compute_all_metrics` wall-clock on device.
+
+The eval wall (VERDICT r3 weak #1) end to end: three pairwise CD+EMD
+matrices (ref x smp, ref x ref, smp x smp) + MMD/COV/1-NNA reductions,
+at real shapes (2048-point clouds). Round-4c flipped the eval tiles to
+the Pallas CD + streaming Pallas EMD kernels by default
+(docs/sampler_profile.md "Round-4 closeout"); this script gives the
+defaults-vs-XLA wall-clock at a chosen cloud count.
+
+Usage (TPU):
+  env JAX_PLATFORMS= python scripts/bench_full_eval.py --num 256
+  env JAX_PLATFORMS= LDT_EVAL_CD_PALLAS=0 LDT_EVAL_EMD_PALLAS=0 \
+      python scripts/bench_full_eval.py --num 256   # XLA control
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_split(data_dir: str, split: str, num: int, points: int):
+    import numpy as np
+
+    d = os.path.join(data_dir, "02691156", split)
+    files = sorted(os.listdir(d))[:num]
+    if len(files) < num:
+        raise SystemExit(f"need {num} clouds in {d}, found {len(files)}")
+    rng = np.random.RandomState(38383)
+    out = []
+    for f in files:
+        pc = np.load(os.path.join(d, f))
+        idx = rng.choice(pc.shape[0], points, replace=False)
+        out.append(pc[idx])
+    arr = np.stack(out).astype(np.float32)
+    # per-cloud center/scale like the loader's boundary normalization
+    arr -= arr.mean(axis=1, keepdims=True)
+    arr /= np.abs(arr).max(axis=(1, 2), keepdims=True)
+    return arr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num", type=int, default=256)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--data", default="data/ShapeNetCore.v2.PC15k")
+    args = ap.parse_args()
+
+    from ldt_tpu.eval.metrics import compute_all_metrics
+
+    smp = load_split(args.data, "val", args.num, args.points)
+    ref = load_split(args.data, "test", args.num, args.points)
+    mode = ("pallas" if os.environ.get("LDT_EVAL_EMD_PALLAS", "1") == "1"
+            else "xla")
+    t0 = time.perf_counter()
+    res = compute_all_metrics(smp, ref, args.batch, verbose=False)
+    dt = time.perf_counter() - t0
+    print(f"[full-eval] {mode}: {args.num} clouds x {args.points} pts, "
+          f"batch {args.batch}: compute_all_metrics {dt:.1f} s "
+          f"({3 * args.num * args.num / dt:.0f} pairs/s effective)")
+    for k in ("mmd-CD", "cov-CD", "1-NN-CD-acc", "mmd-EMD", "1-NN-EMD-acc"):
+        print(f"  {k} = {res[k]:.8f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
