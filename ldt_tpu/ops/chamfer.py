@@ -199,7 +199,10 @@ def eval_pallas_single_tpu() -> bool:
             # data_mesh() over ALL devices and shards the pair tiles
             return False
     except Exception:  # pragma: no cover
-        pass
+        # fail CLOSED: if the guard itself can't be evaluated, take the XLA
+        # form — a replicated Pallas custom call on a sharded eval is worse
+        # than losing the kernel speedup.
+        return False
     try:
         import jax.extend as jex
         backend = jex.backend.get_backend().platform

@@ -78,8 +78,21 @@ def set_tp_mesh(mesh: Optional[Mesh]) -> None:
 
 
 def attention_tp_mesh() -> Optional[Mesh]:
-    """The registered mesh when it has a real model axis, else None."""
-    return _TP_MESH if has_model_axis(_TP_MESH) else None
+    """The registered mesh when it has a real model axis; else the AMBIENT
+    `with Mesh(...)` context mesh if that one has a model axis (covers
+    standalone model applies outside a trainer, which never call
+    set_tp_mesh — without this fallback they'd take the single-chip Pallas
+    custom call and GSPMD would replicate it per model shard); else None."""
+    if has_model_axis(_TP_MESH):
+        return _TP_MESH
+    try:
+        from jax.interpreters.pxla import thread_resources
+        ambient = thread_resources.env.physical_mesh
+        if not ambient.empty and has_model_axis(ambient):
+            return ambient
+    except Exception:  # pragma: no cover
+        pass
+    return None
 
 
 def _spec_for(path_keys, leaf, model_size: int) -> P:

@@ -55,8 +55,11 @@ def main():
 
     smp = load_split(args.data, "val", args.num, args.points)
     ref = load_split(args.data, "test", args.num, args.points)
-    mode = ("pallas" if os.environ.get("LDT_EVAL_EMD_PALLAS", "1") == "1"
-            else "xla")
+    mode = "cd={} emd={}".format(
+        "pallas" if os.environ.get("LDT_EVAL_CD_PALLAS", "1") == "1"
+        else "xla",
+        "pallas" if os.environ.get("LDT_EVAL_EMD_PALLAS", "1") == "1"
+        else "xla")
     t0 = time.perf_counter()
     res = compute_all_metrics(smp, ref, args.batch, verbose=False)
     dt = time.perf_counter() - t0
