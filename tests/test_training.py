@@ -371,3 +371,46 @@ class TestMomentDtype:
         adam_state = cross.opt_state[1]  # chain: (clip, adam)
         for leaf in jax.tree_util.tree_leaves(adam_state.mu):
             assert leaf.dtype == jnp.bfloat16
+
+
+class TestTrainFusedWedgeGuard:
+    """The fused-bwd TRAIN-step compile wedge guard (VERDICT r4 weak #1).
+
+    Flagship-scale update programs (457M score, B=64) have hung the tunnel
+    compiler indefinitely; resolve_train_fused must auto-fallback there
+    with NO environment variable, while small configs keep the fused core
+    and explicit LDT_TRAIN_FUSED wins in both directions.
+    """
+
+    def test_flagship_auto_fallback(self):
+        fused, why = latent_sde_trainer.resolve_train_fused(
+            True, False, 64, 24, 1024, None)
+        assert not fused and why == "auto-flagship"
+
+    def test_b8_twin_stays_fused(self):
+        # the B=8 completion twin compiled fine the same day the flagship
+        # wedged (CLAUDE.md round-4) — it must keep the fused train step
+        fused, why = latent_sde_trainer.resolve_train_fused(
+            True, False, 8, 24, 1024, None)
+        assert fused and why == "auto"
+
+    def test_tiny_config_stays_fused(self):
+        fused, _ = latent_sde_trainer.resolve_train_fused(
+            True, False, 2, 2, 32, None)
+        assert fused
+
+    def test_env_forces_fused_at_flagship(self):
+        fused, why = latent_sde_trainer.resolve_train_fused(
+            True, False, 64, 24, 1024, "1")
+        assert fused and why == "env"
+
+    def test_env_disables_everywhere(self):
+        fused, _ = latent_sde_trainer.resolve_train_fused(
+            True, False, 2, 2, 32, "0")
+        assert not fused
+
+    def test_cpu_and_tp_never_fused(self):
+        assert latent_sde_trainer.resolve_train_fused(
+            False, False, 2, 2, 32, "1") == (False, "cpu")
+        assert latent_sde_trainer.resolve_train_fused(
+            True, True, 2, 2, 32, "1") == (False, "tp")
