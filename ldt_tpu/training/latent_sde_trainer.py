@@ -87,6 +87,37 @@ def resolve_train_fused(on_tpu: bool, tp_sharded: bool, batch_size: int,
     return True, "auto"
 
 
+def draw_train_randoms(rng, step, eps_shape, discrete, timesteps, train_N,
+                       sde, time_eps, iw_mode, subvp_like):
+    """Per-step stochastic draws of the stage-2 objective: (t, var, e2int,
+    weight, eta, dropout_key) — discrete-t via a uniform index into the
+    timestep table (reference Latent_SDE_Trainer.py:117-122) or continuous
+    importance-sampled t (:124-126), eta ~ N(0, I) (:127).
+
+    Module-level so the composed trajectory differential can pin the draws
+    BY STEP (tests/test_trajectory_ref_parity.py monkeypatches this with a
+    table lookup on `step`); production ignores `step` and keys everything
+    off the fold_in-derived rng.
+    """
+    del step
+    _, k_t, k_eta, k_drop = jax.random.split(rng, 4)
+    size = eps_shape[0]
+    if discrete:
+        idx = jax.random.randint(k_t, (size,), 0, train_N)
+        t = timesteps[idx]
+        e2int = sde.e2int_f(t)[:, None, None]
+        var = sde.var(t)[:, None, None]
+        weight = jnp.ones((size, 1, 1))
+    else:
+        t, var_c, e2int_c, weight_c, _, _ = sde.iw_quantities(
+            k_t, size, time_eps, iw_mode, subvp_like)
+        var = var_c[..., None]
+        e2int = e2int_c[..., None]
+        weight = weight_c[..., None]
+    eta = jax.random.normal(k_eta, eps_shape)
+    return t, var, e2int, weight, eta, k_drop
+
+
 def score_objective(model, params, eps, t, var, e2int, weight, eta, label,
                     condition, train, dropout_rng, loss_type):
     """Stage-2 denoising objective (reference Latent_SDE_Trainer.py:127-135):
@@ -236,26 +267,16 @@ class Trainer(BaseTrainer):
                                    eta, label, condition, train, dropout_rng,
                                    loss_type)
 
+        time_eps = self.time_eps
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, eps, label, lr, base):
             # per-step key derived on device: fold_in(base, step) — no host
             # RNG dispatch in the training loop
             rng = jax.random.fold_in(base, state.step)
-            _, k_t, k_eta, k_drop = jax.random.split(rng, 4)
-            size = eps.shape[0]
-            if discrete:
-                idx = jax.random.randint(k_t, (size,), 0, train_N)
-                t = timesteps[idx]
-                e2int = sde.e2int_f(t)[:, None, None]
-                var = sde.var(t)[:, None, None]
-                weight = jnp.ones((size, 1, 1))
-            else:
-                t, var_c, e2int_c, weight_c, _, _ = sde.iw_quantities(
-                    k_t, size, self.time_eps, iw_mode, subvp_like)
-                var = var_c[..., None]
-                e2int = e2int_c[..., None]
-                weight = weight_c[..., None]
-            eta = jax.random.normal(k_eta, eps.shape)
+            t, var, e2int, weight, eta, k_drop = draw_train_randoms(
+                rng, state.step, eps.shape, discrete, timesteps, train_N,
+                sde, time_eps, iw_mode, subvp_like)
 
             loss, grads = jax.value_and_grad(score_loss)(
                 state.params, eps, t, var, e2int, weight, eta, label, None,
