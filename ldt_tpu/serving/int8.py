@@ -327,3 +327,103 @@ def denoise_cond_int8(x: jax.Array, t_emb: jax.Array, img_emb,
         h = _block_int8(h, m, blk, attn)
     fm = (sc @ q["fin_w"] + q["fin_b"])[:, None, :]
     return _final_int8(h, fm, q)
+
+
+# --------------------------------------------------------------------------
+# Golden-gate stamps (VERDICT r4 weak #2): the int8 path changes sampler
+# numerics, so every (checkpoint, sampler-config) pair must be re-certified
+# by scripts/int8_golden_gate.py before serving with it. The gate records
+# its verdict in a JSON stamp next to the checkpoint; the serving path
+# verifies the stamp at sample time and warns (or refuses, under
+# LDT_SERVE_INT8_STRICT=1) when a checkpoint is served int8 without a
+# matching PASSED stamp. Discipline enforced by code, not docs.
+
+def _ckpt_fingerprint(ckpt_path: str) -> Dict[str, Any]:
+    """Cheap content identity for a (possibly multi-GB) checkpoint: size +
+    sha256 of the first and last 4 MB. Hashing the full flagship dual
+    checkpoint (~5.5 GB) would cost ~a minute per sample call."""
+    import hashlib
+
+    h = hashlib.sha256()
+    size = os.path.getsize(ckpt_path)
+    chunk = 4 * 1024 * 1024
+    with open(ckpt_path, "rb") as f:
+        h.update(f.read(chunk))
+        if size > 2 * chunk:
+            f.seek(size - chunk)
+            h.update(f.read(chunk))
+    return {"file": os.path.basename(ckpt_path), "size": size,
+            "sha256_edges": h.hexdigest()}
+
+
+def _sampler_signature(cfg, completion: bool) -> Dict[str, Any]:
+    return {"completion": bool(completion),
+            "sample_N": int(cfg.sde.sample_N),
+            "predictor": str(cfg.sde.predictor),
+            "sample_mode": str(cfg.sde.sample_mode),
+            "sde_type": str(cfg.sde.sde_type)}
+
+
+def gate_stamp_path(ckpt_path: str) -> str:
+    return ckpt_path + ".int8_gate.json"
+
+
+def write_gate_stamp(ckpt_path: str, cfg, completion: bool, passed: bool,
+                     results: Dict[str, Any], threshold: float) -> str:
+    """Called by scripts/int8_golden_gate.py after a verdict."""
+    import json
+    import time
+
+    payload = {
+        "checkpoint": _ckpt_fingerprint(ckpt_path),
+        "sampler": _sampler_signature(cfg, completion),
+        "passed": bool(passed),
+        "threshold": float(threshold),
+        "results": results,
+        "written": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    path = gate_stamp_path(ckpt_path)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
+
+
+def verify_gate_stamp(ckpt_path: Optional[str], cfg, completion: bool):
+    """Check the stamp for a checkpoint about to be served int8.
+
+    Returns a human-readable problem string (also printed), or None when a
+    matching PASSED stamp exists. Under LDT_SERVE_INT8_STRICT=1 a problem
+    raises instead of warning.
+    """
+    import json
+
+    problem = None
+    if ckpt_path is None:
+        problem = ("int8 serving on a checkpoint of unknown origin (state "
+                   "was not restored through resume/load_pretrain) — no "
+                   "golden-gate stamp can be checked")
+    elif not os.path.exists(gate_stamp_path(ckpt_path)):
+        problem = (f"no int8 golden-gate stamp next to {ckpt_path} — run "
+                   "scripts/int8_golden_gate.py for this checkpoint first")
+    else:
+        with open(gate_stamp_path(ckpt_path)) as f:
+            stamp = json.load(f)
+        want_sig = _sampler_signature(cfg, completion)
+        if not stamp.get("passed"):
+            problem = (f"int8 golden gate FAILED for {ckpt_path} "
+                       f"(stamp {gate_stamp_path(ckpt_path)})")
+        elif stamp.get("sampler") != want_sig:
+            problem = ("int8 gate stamp certifies a different sampler "
+                       f"config: stamped {stamp.get('sampler')} vs running "
+                       f"{want_sig} (e.g. DDIM-50 int8 was REFUTED while "
+                       "1000-step ancestral passed — re-gate per config)")
+        elif stamp.get("checkpoint") != _ckpt_fingerprint(ckpt_path):
+            problem = (f"checkpoint content changed since the gate ran "
+                       f"({ckpt_path}) — re-run scripts/int8_golden_gate.py")
+    if problem is None:
+        return None
+    if os.environ.get("LDT_SERVE_INT8_STRICT", "0") == "1":
+        raise RuntimeError(f"[int8-gate] {problem} (LDT_SERVE_INT8_STRICT=1)")
+    print(f"[int8-gate] WARNING: {problem}; serving int8 anyway "
+          "(LDT_SERVE_INT8_STRICT=1 to refuse)", flush=True)
+    return problem

@@ -219,6 +219,13 @@ class Trainer(LatentSDETrainer):
     # ------------------------------------------------------------ sampling
     def sample(self, num_samples, num_points=None, label=None,
                condition=None):
+        self._maybe_verify_int8_gate(
+            os.environ.get("LDT_SERVE_INT8", "0") == "1"
+            and self.cfg.score.norm == "layer_norm"
+            and not self.cfg.score.unet and self.cfg.score.AdaLN
+            and self.sample_mode != "continuous"
+            and self.cfg.sde.predictor != "pndm"
+            and condition is not None, completion=True)
         self.rng, k = jax.random.split(self.rng)
         return self._cond_sample_step(
             self.state.eval_params(), self.state.batch_stats, self.comp_vars,

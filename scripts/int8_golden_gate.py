@@ -97,6 +97,9 @@ def main():
         loaders = get_data_loaders(cfg.data)
         trainer.maybe_init(next(iter(loaders["train_loader"])))
         trainer.resume(epoch=epoch, strict=False)
+        # the gate IS the certification run: suppress the sample-time
+        # stamp check for its own legs
+        trainer._int8_gate_checked = (trainer._restored_ckpt,)
 
         batches, total = [], 0
         for data in loaders["test_loader"]:
@@ -150,6 +153,9 @@ def main():
             dict(eval_split="val")))
         trainer.maybe_init(next(iter(loaders["train_loader"])))
         trainer.resume(epoch=epoch, strict=False)
+        # the gate IS the certification run: suppress the sample-time
+        # stamp check for its own legs
+        trainer._int8_gate_checked = (trainer._restored_ckpt,)
 
         refs = []
         for b in loaders["test_loader"]:
@@ -195,6 +201,14 @@ def main():
         print(f"{k:<24}{a:>14.6f}{b:>14.6f}{rel:>11.4%}{flag}")
         if not ok:
             failed.append(k)
+    # record the verdict next to the checkpoint — the serving path checks
+    # this stamp before running a checkpoint int8 (serving/int8.py)
+    from ldt_tpu.serving.int8 import write_gate_stamp
+
+    stamp = write_gate_stamp(ckpt_path, cfg, args.completion,
+                             passed=not failed, results=results,
+                             threshold=args.threshold)
+    print(f"[gate] stamp written: {stamp}")
     if failed:
         print(f"[gate] FAILED: {failed}")
         return 1

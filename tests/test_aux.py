@@ -110,6 +110,7 @@ class TestConfigLoudness:
 
 
 class TestBenchSmoke:
+    @pytest.mark.slow
     def test_bench_emits_driver_json_line(self):
         """bench.py end-to-end on CPU (tiny shapes via its on_cpu
         defaults): the LAST stdout line must be the driver contract —

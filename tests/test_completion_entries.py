@@ -17,6 +17,8 @@ import train_Completion_Compressor
 import train_Completion_Latent_Diffusion
 from ldt_tpu.tools.io import dict2namespace
 
+pytestmark = pytest.mark.slow
+
 SYNSET = "02691156"
 N_PTS = 64
 

@@ -6,11 +6,15 @@ asserts both workers run the joint-mesh train step + SP decode. ~2 min —
 the only test that exercises jax.distributed / cross-process collectives.
 """
 
+import pytest
+
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow
 
 
 def test_two_process_dcn_dryrun():

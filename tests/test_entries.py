@@ -18,6 +18,8 @@ import train_Latent_Diffusion
 import val_sample
 from ldt_tpu.tools.io import dict2namespace
 
+pytestmark = pytest.mark.slow
+
 N_PTS = 64
 
 

@@ -81,6 +81,7 @@ def _batch(n=8):
     return pts
 
 
+@pytest.mark.slow
 def test_flagship_init_statistics_match_reference():
     _install_reference_shims()
     from model.Compressor.Network import Compressor as RefCompressor

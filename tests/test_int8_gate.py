@@ -109,6 +109,17 @@ def test_gate_runs_and_reports(exp_dir, monkeypatch, capsys):
     assert rc in (0, 1)  # random-init numerics may exceed tight thresholds
     assert ("PASSED" in out) or ("FAILED" in out)
     assert os.environ.get("LDT_SERVE_INT8") is not None
+    # the gate wrote its verdict stamp next to the checkpoint
+    import json
+
+    from ldt_tpu.serving.int8 import gate_stamp_path
+
+    spath = gate_stamp_path(str(exp_dir / "checkpt_5.msgpack"))
+    assert os.path.exists(spath), "gate did not write its stamp"
+    stamp = json.load(open(spath))
+    assert stamp["passed"] == (rc == 0)
+    assert stamp["sampler"]["sample_N"] == 8  # the --steps override
+    assert stamp["checkpoint"]["file"] == "checkpt_5.msgpack"
 
 @pytest.fixture()
 def completion_exp_dir(tmp_path):
@@ -229,3 +240,135 @@ def test_completion_gate_runs_and_reports(completion_exp_dir, monkeypatch,
     assert "paired CD" in out
     assert rc in (0, 1)  # random-init numerics may exceed the threshold
     assert ("PASSED" in out) or ("FAILED" in out)
+
+
+class TestGateStamp:
+    """Sample-time enforcement of the golden-gate stamps (VERDICT r4 #5):
+    serving/int8.py::verify_gate_stamp must warn on a missing/failed/
+    mismatched stamp, refuse under LDT_SERVE_INT8_STRICT=1, and stay quiet
+    when a matching PASSED stamp exists."""
+
+    def _cfg(self):
+        return dict2namespace(dict(sde=dict(
+            sample_N=1000, predictor="ancestral", sample_mode="discrete",
+            sde_type="vpsde")))
+
+    def _ckpt(self, tmp_path):
+        p = tmp_path / "checkpt_9.msgpack"
+        p.write_bytes(b"fake-checkpoint-bytes" * 100)
+        return str(p)
+
+    def test_missing_stamp_warns_and_strict_raises(self, tmp_path,
+                                                   monkeypatch, capsys):
+        from ldt_tpu.serving.int8 import verify_gate_stamp
+
+        ckpt = self._ckpt(tmp_path)
+        monkeypatch.delenv("LDT_SERVE_INT8_STRICT", raising=False)
+        assert verify_gate_stamp(ckpt, self._cfg(), False) is not None
+        assert "WARNING" in capsys.readouterr().out
+        monkeypatch.setenv("LDT_SERVE_INT8_STRICT", "1")
+        with pytest.raises(RuntimeError, match="int8-gate"):
+            verify_gate_stamp(ckpt, self._cfg(), False)
+
+    def test_passed_stamp_is_quiet(self, tmp_path, capsys):
+        from ldt_tpu.serving.int8 import verify_gate_stamp, write_gate_stamp
+
+        ckpt = self._ckpt(tmp_path)
+        write_gate_stamp(ckpt, self._cfg(), False, passed=True,
+                         results={}, threshold=0.01)
+        assert verify_gate_stamp(ckpt, self._cfg(), False) is None
+        assert "WARNING" not in capsys.readouterr().out
+
+    def test_failed_and_mismatched_and_tampered(self, tmp_path, capsys):
+        from ldt_tpu.serving.int8 import verify_gate_stamp, write_gate_stamp
+
+        ckpt = self._ckpt(tmp_path)
+        write_gate_stamp(ckpt, self._cfg(), False, passed=False,
+                         results={}, threshold=0.01)
+        assert "FAILED" in verify_gate_stamp(ckpt, self._cfg(), False)
+
+        write_gate_stamp(ckpt, self._cfg(), False, passed=True,
+                         results={}, threshold=0.01)
+        # certified 1000-step ancestral; serving DDIM-50 must not match
+        other = self._cfg()
+        other.sde.sample_N, other.sde.predictor = 50, "ddim"
+        assert "different sampler" in verify_gate_stamp(ckpt, other, False)
+        # completion flag is part of the signature too
+        assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
+                                                        True)
+        # tampered checkpoint content invalidates the stamp
+        with open(ckpt, "ab") as f:
+            f.write(b"x")
+        assert "changed since" in verify_gate_stamp(ckpt, self._cfg(), False)
+
+    def test_trainer_sample_checks_once(self, tmp_path, monkeypatch,
+                                        capsys):
+        """The stage-2 trainer consults the stamp on its first int8-serving
+        sample and caches the verdict."""
+        import jax
+
+        from ldt_tpu.models import Compressor, Score
+        from ldt_tpu.training.latent_sde_trainer import Trainer
+
+        cfg = _tiny_trainer_cfg(tmp_path)
+        tr = Trainer(cfg, Score(cfg.score), Compressor(cfg.compressor),
+                     rng=jax.random.key(0))
+        batch = {"tr_points": np.random.RandomState(0).randn(
+            2, N_PTS, 3).astype(np.float32)}
+        tr.maybe_init(batch)
+        monkeypatch.setenv("LDT_SERVE_INT8", "1")
+        calls = []
+        import ldt_tpu.serving.int8 as int8_mod
+
+        monkeypatch.setattr(
+            int8_mod, "verify_gate_stamp",
+            lambda *a, **k: calls.append(a) or None)
+        tr.sample(2, N_PTS)
+        tr.sample(2, N_PTS)
+        assert len(calls) == 1, "stamp must be checked once per checkpoint"
+        # no restore happened -> unknown-origin path (ckpt_path None)
+        assert calls[0][0] is None
+
+
+def _tiny_trainer_cfg(tmp_path):
+    from ldt_tpu.tools.io import dict2namespace as d2n
+
+    model = dict(
+        outsize=N_PTS, max_outputs=N_PTS, input_dim=3, z_dim=4, z_scales=8,
+        p_dim=16, n_layers=2, hidden_dim=32, num_heads=2, activation="swish",
+        encoder_dropout_p=0.0, decoder_dropout_p=0.0, norm="layer_norm",
+        neighbors=8, encoder_layers=1, mlp_ratio=2.0, min_sigma=-30,
+        cluster_norm="anchor", norm_input=False, pre_group=False,
+        decoder_act=None, ActNorm=True, AdaLN=True, pos_embedding="center",
+        class_condition=False, num_categorys=1, pretrain_path=None)
+    exp = tmp_path / "exp_stamp"
+    exp.mkdir(exist_ok=True)
+    return d2n(dict(
+        data=dict(cates=["airplane"], num_categorys=1,
+                  tr_max_sample_points=N_PTS, te_max_sample_points=N_PTS,
+                  batch_size=2, test_batch_size=2, boundary=True,
+                  num_workers=0),
+        opt=dict(adj_lr="warm_up", warmup_iters=2, lr=1e-3, beta1=0.9,
+                 beta2=0.999, ema_decay=0.99, weight_decay=0.0,
+                 grad_norm_clip_value=1.0, kl_weight=1e-6, loss_type="l2",
+                 discrete=True),
+        log=dict(save_epoch_freq=1, save_path=str(exp), log_epoch_freq=1,
+                 eval_epoch_freq=1000,
+                 traincolumns=["epoch", "itr", "loss", "time"],
+                 trainformat=[None, None, "{:.4f}", "{:.0f}"],
+                 evalcolumns=["epoch", "mmd-CD"],
+                 evalformat=[None, "{:.8f}"]),
+        common=dict(epochs=2, num_points=N_PTS, seed=0),
+        model=model, compressor=model,
+        score=dict(num_steps=8, z_dim=8, z_scale=8, hidden_size=32,
+                   num_heads=4, num_blocks=2, num_categorys=1, t_dim=16,
+                   dropout=0.0, norm="layer_norm", learn_sigma=False,
+                   act="swish", unet=False, AdaLN=True, condition=False),
+        sde=dict(beta_start=0.1, beta_end=20.0, sde_type="vpsde",
+                 sigma2_0=0.0, iw_sample_p_mode="drop_all_iw",
+                 iw_sample_q_mode="drop_all_iw", time_eps=0.01, ode_tol=1e-4,
+                 sample_time_eps=1e-6, sample_mode="discrete",
+                 predictor="ancestral", corrector=None, train_N=8,
+                 sample_N=8, snr=0.01, corrector_steps=1, denoise=True,
+                 probability_flow=False, alpha=1.0),
+    ))

@@ -185,6 +185,7 @@ def test_score_train_step_grads_with_fused_attention():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_compressor_fused_forward_and_grads_match():
     """Compressor with fused attention (incl. the decode cross-attention)
     shares params, outputs, and gradients with the XLA build."""

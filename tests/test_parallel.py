@@ -89,6 +89,7 @@ class TestShardedEval:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
 

@@ -74,6 +74,7 @@ def test_continuous_ode_sampling_through_trainer(tmp_path):
     assert np.isfinite(np.asarray(smp)).all()
 
 
+@pytest.mark.slow
 def test_resume_latest_epoch_from_csv(tmp_path):
     """resume(epoch=None) reads the last epoch from training.csv
     (trainer/Compressor_Trainer.py:163-167)."""
