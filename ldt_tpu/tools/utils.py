@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import random
 
 import jax
@@ -20,15 +21,49 @@ def normalize_point_clouds(pcs):
     return pcs / furthest
 
 
+def enable_compile_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The axon transport compiles remotely at 2-8 min for the flagship
+    sampler/train-step programs (CLAUDE.md); the persistent cache makes the
+    SECOND process's identical program load in seconds. Probed working on
+    the current backend (scripts/compile_cache_probe.py — the round-1
+    'appeared to hang' report does not reproduce; measurements in
+    docs/runbook.md). Reference N/A: this is the TPU transport tax.
+
+    LDT_COMPILE_CACHE overrides the directory; "0" disables. Returns the
+    directory in effect (None when disabled or when the caller already set
+    one, e.g. the test conftest).
+    """
+    env = os.environ.get("LDT_COMPILE_CACHE")
+    if env == "0":
+        return None
+    if jax.config.jax_compilation_cache_dir:
+        return None  # respect an explicit prior setting
+    cache = env or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return None
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache
+
+
 def common_init(seed: int) -> jax.Array:
     """Global seeding (tools/utils.py:269-276). Returns the root jax PRNG key;
     JAX randomness is threaded explicitly from here (no global device RNG).
 
     Also wires multi-host DCN when the standard jax.distributed env is
-    present (JAX_COORDINATOR_ADDRESS etc.) — a no-op on single-host runs."""
+    present (JAX_COORDINATOR_ADDRESS etc.) — a no-op on single-host runs,
+    and the persistent compile cache (enable_compile_cache)."""
     from ldt_tpu.parallel.tp import initialize_distributed
 
     initialize_distributed()
+    enable_compile_cache()
     random.seed(seed)
     np.random.seed(seed)
     return jax.random.key(seed)
