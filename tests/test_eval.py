@@ -230,3 +230,45 @@ class TestFixedTileShapes:
         cd_b, emd_b = pairwise_EMD_CD(smp, ref, batch_size=8, block=8)
         np.testing.assert_allclose(cd_a, cd_b, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(emd_a, emd_b, rtol=1e-4, atol=1e-6)
+
+
+class TestSymmetricPairwiseCD:
+    """`pairwise_CD(..., symmetric=True)` computes only the upper-triangle
+    tiles of a self-distance matrix and mirrors (chamfer is symmetric in
+    its arguments) — it must equal the full computation for every tiling,
+    including uneven/padded tile grids, and leave 1-NNA unchanged."""
+
+    def _pcs(self, n, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.randn(n, 16, 3).astype(np.float32)
+
+    @pytest.mark.parametrize("n,bs,block", [(7, 4, None), (8, 2, 3),
+                                            (12, 32, None), (5, 2, 2)])
+    def test_matches_full_matrix(self, n, bs, block):
+        pcs = self._pcs(n)
+        full = pairwise_CD(pcs, pcs, batch_size=bs, block=block)
+        sym = pairwise_CD(pcs, pcs, batch_size=bs, block=block,
+                          symmetric=True)
+        np.testing.assert_allclose(sym, full, rtol=1e-5, atol=1e-6)
+        # the mirror really is symmetric (the full form is only f32-close)
+        np.testing.assert_array_equal(sym, sym.T)
+
+    def test_rejects_non_square(self):
+        with pytest.raises(AssertionError):
+            pairwise_CD(self._pcs(4), self._pcs(6, seed=1), batch_size=2,
+                        symmetric=True)
+
+    def test_compute_cd_metrics_unchanged(self):
+        from ldt_tpu.eval.metrics import compute_CD_metrics
+
+        smp, ref = self._pcs(6, seed=2), self._pcs(6, seed=3)
+        got = compute_CD_metrics(smp, ref, batch_size=4, verbose=False)
+        # reconstruct 1-NNA from fully-computed matrices
+        m_rs = pairwise_CD(ref, smp, batch_size=4)
+        m_rr = pairwise_CD(ref, ref, batch_size=4)
+        m_ss = pairwise_CD(smp, smp, batch_size=4)
+        want = knn(m_rr, m_rs, m_ss, 1, sqrt=False)
+        for k, v in want.items():
+            if "acc" in k:
+                np.testing.assert_allclose(got[f"1-NN-CD-{k}"], v,
+                                           rtol=1e-6, err_msg=k)
