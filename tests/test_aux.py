@@ -186,3 +186,40 @@ class TestBenchDeviceWatchdog:
         with pytest.raises(SystemExit):
             mod._require_devices(1.0)
         assert 0.9 < _time.perf_counter() - t0 < 10.0
+
+
+class TestCompileCache:
+    """tools/utils.py::enable_compile_cache — env override, disable,
+    respect-prior-setting (the conftest itself sets a cache dir, which is
+    exactly the prior-setting case)."""
+
+    def test_respects_prior_setting(self):
+        import jax
+
+        from ldt_tpu.tools.utils import enable_compile_cache
+
+        # the test conftest already pointed the cache at /tmp/ldt_jax_cache
+        prior = jax.config.jax_compilation_cache_dir
+        assert prior
+        assert enable_compile_cache() is None
+        assert jax.config.jax_compilation_cache_dir == prior
+
+    def test_env_disable_and_override(self, monkeypatch, tmp_path):
+        import jax
+
+        from ldt_tpu.tools.utils import enable_compile_cache
+
+        prior = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("LDT_COMPILE_CACHE", "0")
+            assert enable_compile_cache() is None
+            assert not jax.config.jax_compilation_cache_dir
+
+            target = str(tmp_path / "cache")
+            monkeypatch.setenv("LDT_COMPILE_CACHE", target)
+            assert enable_compile_cache() == target
+            assert jax.config.jax_compilation_cache_dir == target
+            assert os.path.isdir(target)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prior)
