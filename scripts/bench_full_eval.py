@@ -49,12 +49,42 @@ def main():
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--data", default="data/ShapeNetCore.v2.PC15k")
+    ap.add_argument("--cd-only", action="store_true",
+                    help="time the CD-only val_sample path "
+                    "(compute_CD_metrics) with its symmetric-tile rr/ss "
+                    "matrices vs a full-matrix control")
     args = ap.parse_args()
 
     from ldt_tpu.eval.metrics import compute_all_metrics
 
     smp = load_split(args.data, "val", args.num, args.points)
     ref = load_split(args.data, "test", args.num, args.points)
+
+    if args.cd_only:
+        from ldt_tpu.eval.metrics import compute_CD_metrics, knn, \
+            lgan_mmd_cov, pairwise_CD
+
+        # warm the tile jits once so both timings are compile-free
+        compute_CD_metrics(smp[:args.batch], ref[:args.batch], args.batch,
+                           verbose=False)
+        t0 = time.perf_counter()
+        res_sym = compute_CD_metrics(smp, ref, args.batch, verbose=False)
+        dt_sym = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        m_rs = pairwise_CD(ref, smp, args.batch)
+        full = {f"{k}-CD": v for k, v in lgan_mmd_cov(m_rs.T).items()}
+        m_rr = pairwise_CD(ref, ref, args.batch)
+        m_ss = pairwise_CD(smp, smp, args.batch)
+        full.update({f"1-NN-CD-{k}": v for k, v in
+                     knn(m_rr, m_rs, m_ss, 1, sqrt=False).items()
+                     if "acc" in k})
+        dt_full = time.perf_counter() - t0
+        print(f"[cd-eval] {args.num} clouds x {args.points} pts: "
+              f"symmetric {dt_sym:.1f} s vs full {dt_full:.1f} s "
+              f"({dt_full / dt_sym:.2f}x)")
+        for k in ("mmd-CD", "cov-CD", "1-NN-CD-acc"):
+            print(f"  {k}: sym {res_sym[k]:.8f} full {full[k]:.8f}")
+        return
     mode = "cd={} emd={}".format(
         "pallas" if os.environ.get("LDT_EVAL_CD_PALLAS", "1") == "1"
         else "xla",
