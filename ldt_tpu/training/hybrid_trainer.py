@@ -316,6 +316,8 @@ class Trainer(LatentSDETrainer):
             ckpt["state"], strict=strict)
         self.state = restored["score"]
         self.comp_state = restored["compressor_state"]
+        # origin for the int8 golden-gate stamp check (sample-time)
+        self._restored_ckpt = path
         self._place_state()  # restored leaves are host numpy
         if finetune:
             self.epoch, self.itr = 1, 0
