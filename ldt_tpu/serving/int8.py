@@ -357,11 +357,16 @@ def _ckpt_fingerprint(ckpt_path: str) -> Dict[str, Any]:
 
 
 def _sampler_signature(cfg, completion: bool) -> Dict[str, Any]:
+    # the quantization-scheme knobs are part of the certified numerics: a
+    # plain-W8A8 pass must not certify the int8-attention-core or
+    # bf16-tail mixed schemes (both changed gate outcomes in round 4)
     return {"completion": bool(completion),
             "sample_N": int(cfg.sde.sample_N),
             "predictor": str(cfg.sde.predictor),
             "sample_mode": str(cfg.sde.sample_mode),
-            "sde_type": str(cfg.sde.sde_type)}
+            "sde_type": str(cfg.sde.sde_type),
+            "attn_int8": os.environ.get("LDT_ATTN_INT8", "0") == "1",
+            "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))}
 
 
 def gate_stamp_path(ckpt_path: str) -> str:

@@ -301,6 +301,25 @@ class TestGateStamp:
             f.write(b"x")
         assert "changed since" in verify_gate_stamp(ckpt, self._cfg(), False)
 
+    def test_quant_scheme_knobs_in_signature(self, tmp_path, monkeypatch):
+        """A plain-W8A8 pass must not certify the int8-attention-core or
+        bf16-tail schemes (round-4: both changed gate outcomes)."""
+        from ldt_tpu.serving.int8 import verify_gate_stamp, write_gate_stamp
+
+        ckpt = self._ckpt(tmp_path)
+        monkeypatch.delenv("LDT_ATTN_INT8", raising=False)
+        monkeypatch.delenv("LDT_INT8_BF16_TAIL", raising=False)
+        write_gate_stamp(ckpt, self._cfg(), False, passed=True,
+                         results={}, threshold=0.01)
+        assert verify_gate_stamp(ckpt, self._cfg(), False) is None
+        monkeypatch.setenv("LDT_ATTN_INT8", "1")
+        assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
+                                                        False)
+        monkeypatch.delenv("LDT_ATTN_INT8", raising=False)
+        monkeypatch.setenv("LDT_INT8_BF16_TAIL", "4")
+        assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
+                                                        False)
+
     def test_trainer_sample_checks_once(self, tmp_path, monkeypatch,
                                         capsys):
         """The stage-2 trainer consults the stamp on its first int8-serving
