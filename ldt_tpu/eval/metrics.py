@@ -17,6 +17,7 @@ see SURVEY.md §6 schema-drift note).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Optional
 
 import jax
@@ -114,10 +115,23 @@ _PAIR_TILE_BYTES = int(1.6e9)
 
 
 def _tile_shape(ns: int, nr: int, batch_size: int, block: Optional[int],
-                n_pts: int, m_pts: int):
+                n_pts: int, m_pts: int, symmetric: bool = False):
     """(sample-block, ref-block) sizes: ~4*batch_size pairs per tile, capped
-    so P * N * M * 4 bytes stays under `_PAIR_TILE_BYTES`."""
+    so P * N * M * 4 bytes stays under `_PAIR_TILE_BYTES`.
+
+    `symmetric` tiles must be SQUARE (so a skipped strictly-lower tile is
+    exactly the transpose of a computed upper one). The side is sized to
+    hold the same ~min(4*batch_size, budget) pairs per tile as the
+    asymmetric path — NOT min(sb, rb): at 2048-pt clouds the budget caps
+    sb at 1, and 1x1 tiles would turn the n=256 self-matrix into ~33k
+    synchronous tunnel roundtrips (minutes of pure dispatch latency)."""
     budget = max(1, _PAIR_TILE_BYTES // max(n_pts * m_pts * 4, 1))
+    if symmetric:
+        side = max(1, math.isqrt(min(4 * batch_size, budget)))
+        if block is not None:
+            side = min(side, max(1, block))
+        side = min(side, max(ns, 1))
+        return side, side
     rb = min(batch_size, nr, budget)
     if block is not None:
         # the explicit-block path must honor the tile budget too, or a
@@ -160,18 +174,24 @@ def pairwise_CD(sample_pcs, ref_pcs, batch_size: int = 32,
     EMD matrix: the approx-match anneal is not argument-symmetric, and the
     reference computes both triangles (parity first).
     """
+    if symmetric and sample_pcs is not ref_pcs:
+        # mirroring assumes d(i, j) == d(j, i) ACROSS the two inputs, which
+        # only holds when they are literally the same set — equal lengths
+        # are not enough (the mirror would silently fill CD(ref_i, smp_j)
+        # where CD(smp_i, ref_j) belongs)
+        raise ValueError("symmetric=True requires passing the SAME array "
+                         "for sample_pcs and ref_pcs (a self-distance "
+                         "matrix); got two distinct objects")
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     ns, nr = sample_pcs.shape[0], ref_pcs.shape[0]
+    # square tiles align the (s, r) grid with its transpose, so a skipped
+    # strictly-lower tile is exactly the mirror of a computed strictly-upper
+    # one (unequal sb/rb would leave straddling tiles whose transposes cover
+    # skipped cells without being mirrored)
     sb, rb = _tile_shape(ns, nr, batch_size, block,
-                         sample_pcs.shape[1], ref_pcs.shape[1])
-    if symmetric:
-        # square tiles align the (s, r) grid with its transpose, so a
-        # skipped strictly-lower tile is exactly the mirror of a computed
-        # strictly-upper one (unequal sb/rb would leave straddling tiles
-        # whose transposes cover skipped cells without being mirrored)
-        assert ns == nr, "symmetric=True requires a self-distance matrix"
-        sb = rb = min(sb, rb)
+                         sample_pcs.shape[1], ref_pcs.shape[1],
+                         symmetric=symmetric)
     out = np.zeros((ns, nr), np.float32)
     for s0, s1 in _iter_blocks(ns, sb):
         for r0, r1 in _iter_blocks(nr, rb):

@@ -349,9 +349,13 @@ def _ckpt_fingerprint(ckpt_path: str) -> Dict[str, Any]:
     chunk = 4 * 1024 * 1024
     with open(ckpt_path, "rb") as f:
         h.update(f.read(chunk))
-        if size > 2 * chunk:
-            f.seek(size - chunk)
-            h.update(f.read(chunk))
+        if size > chunk:
+            # hash whatever tail the head read did not cover (up to 4 MB) —
+            # a `size > 2*chunk` guard here left bytes [chunk, size-chunk)
+            # of 4-8 MB checkpoints unhashed (round-5 review finding)
+            tail = min(chunk, size - chunk)
+            f.seek(size - tail)
+            h.update(f.read(tail))
     return {"file": os.path.basename(ckpt_path), "size": size,
             "sha256_edges": h.hexdigest()}
 
@@ -369,27 +373,92 @@ def _sampler_signature(cfg, completion: bool) -> Dict[str, Any]:
             "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))}
 
 
+def int8_serving_active(cfg, sample_mode: str, label=None,
+                        condition=None) -> bool:
+    """True iff the UNCONDITIONAL sampler will take the W8A8 path.
+
+    Single source of truth for the serving predicate: the trace-time branch
+    in `latent_sde_trainer.sample_step` and the gate-stamp check in
+    `sample()` both call this (hand-duplicated copies of the condition
+    drifted once already — round-5 review finding). The int8 twin
+    hard-codes non-affine LayerNorm(1e-6) (`_ln`), precomputed-mods AdaLN
+    DiT blocks, and a fixed discrete schedule; anything else falls through
+    to the exact model path."""
+    return (os.environ.get("LDT_SERVE_INT8", "0") == "1"
+            and cfg.score.norm == "layer_norm"
+            and label is None and condition is None
+            and not cfg.score.unet and cfg.score.AdaLN
+            and sample_mode != "continuous"
+            and cfg.sde.predictor != "pndm")
+
+
+def int8_cond_serving_active(cfg, sample_mode: str, cond_present) -> bool:
+    """True iff the CONDITIONAL (completion) sampler will take the W8A8
+    path — `cond_present` is `cond_enc[0] is not None` at trace time and
+    `condition is not None` at the host-side gate check."""
+    return (os.environ.get("LDT_SERVE_INT8", "0") == "1"
+            and cfg.score.norm == "layer_norm"
+            and not cfg.score.unet and cfg.score.AdaLN
+            and sample_mode != "continuous"
+            and cfg.sde.predictor != "pndm"
+            and bool(cond_present))
+
+
 def gate_stamp_path(ckpt_path: str) -> str:
     return ckpt_path + ".int8_gate.json"
 
 
+def _load_stamp_entries(path: str):
+    """Stamp entries on disk, or None when the file is unreadable/corrupt
+    (e.g. a write truncated by a container reset — must WARN at serve time,
+    not crash sample())."""
+    import json
+
+    try:
+        with open(path) as f:
+            stamp = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if isinstance(stamp, dict) and isinstance(stamp.get("entries"), list):
+        return [e for e in stamp["entries"] if isinstance(e, dict)]
+    if isinstance(stamp, dict):
+        return [stamp]  # round-5 single-entry format
+    return None
+
+
 def write_gate_stamp(ckpt_path: str, cfg, completion: bool, passed: bool,
                      results: Dict[str, Any], threshold: float) -> str:
-    """Called by scripts/int8_golden_gate.py after a verdict."""
+    """Called by scripts/int8_golden_gate.py after a verdict.
+
+    Certification is per-(checkpoint, sampler-config), so the stamp file
+    holds a LIST of entries: gating a second sampler config (e.g. DDIM-50
+    after 1000-step ancestral) must not destroy the first config's verdict.
+    Entries for the same config are replaced; entries recorded against a
+    different checkpoint content (stale fingerprint) are dropped. The write
+    is atomic (tmp + rename) so a killed gate can't leave a truncated stamp.
+    """
     import json
     import time
 
-    payload = {
-        "checkpoint": _ckpt_fingerprint(ckpt_path),
-        "sampler": _sampler_signature(cfg, completion),
+    fp = _ckpt_fingerprint(ckpt_path)
+    sig = _sampler_signature(cfg, completion)
+    entry = {
+        "checkpoint": fp,
+        "sampler": sig,
         "passed": bool(passed),
         "threshold": float(threshold),
         "results": results,
         "written": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     path = gate_stamp_path(ckpt_path)
-    with open(path, "w") as f:
-        json.dump(payload, f, indent=1)
+    entries = _load_stamp_entries(path) or []
+    entries = [e for e in entries
+               if e.get("sampler") != sig and e.get("checkpoint") == fp]
+    entries.append(entry)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"entries": entries}, f, indent=1)
+    os.replace(tmp, path)
     return path
 
 
@@ -400,8 +469,6 @@ def verify_gate_stamp(ckpt_path: Optional[str], cfg, completion: bool):
     matching PASSED stamp exists. Under LDT_SERVE_INT8_STRICT=1 a problem
     raises instead of warning.
     """
-    import json
-
     problem = None
     if ckpt_path is None:
         problem = ("int8 serving on a checkpoint of unknown origin (state "
@@ -411,20 +478,29 @@ def verify_gate_stamp(ckpt_path: Optional[str], cfg, completion: bool):
         problem = (f"no int8 golden-gate stamp next to {ckpt_path} — run "
                    "scripts/int8_golden_gate.py for this checkpoint first")
     else:
-        with open(gate_stamp_path(ckpt_path)) as f:
-            stamp = json.load(f)
+        entries = _load_stamp_entries(gate_stamp_path(ckpt_path))
         want_sig = _sampler_signature(cfg, completion)
-        if not stamp.get("passed"):
-            problem = (f"int8 golden gate FAILED for {ckpt_path} "
-                       f"(stamp {gate_stamp_path(ckpt_path)})")
-        elif stamp.get("sampler") != want_sig:
-            problem = ("int8 gate stamp certifies a different sampler "
-                       f"config: stamped {stamp.get('sampler')} vs running "
-                       f"{want_sig} (e.g. DDIM-50 int8 was REFUTED while "
-                       "1000-step ancestral passed — re-gate per config)")
-        elif stamp.get("checkpoint") != _ckpt_fingerprint(ckpt_path):
-            problem = (f"checkpoint content changed since the gate ran "
-                       f"({ckpt_path}) — re-run scripts/int8_golden_gate.py")
+        if entries is None:
+            problem = (f"int8 gate stamp {gate_stamp_path(ckpt_path)} is "
+                       "unreadable (corrupt/truncated) — re-run "
+                       "scripts/int8_golden_gate.py")
+        else:
+            fp = _ckpt_fingerprint(ckpt_path)
+            fresh = [e for e in entries if e.get("checkpoint") == fp]
+            match = [e for e in fresh if e.get("sampler") == want_sig]
+            if not fresh:
+                problem = (f"checkpoint content changed since the gate ran "
+                           f"({ckpt_path}) — re-run "
+                           "scripts/int8_golden_gate.py")
+            elif not match:
+                problem = ("int8 gate stamp certifies a different sampler "
+                           f"config: stamped "
+                           f"{[e.get('sampler') for e in fresh]} vs running "
+                           f"{want_sig} (e.g. DDIM-50 int8 was REFUTED while "
+                           "1000-step ancestral passed — re-gate per config)")
+            elif not match[0].get("passed"):
+                problem = (f"int8 golden gate FAILED for {ckpt_path} "
+                           f"(stamp {gate_stamp_path(ckpt_path)})")
     if problem is None:
         return None
     if os.environ.get("LDT_SERVE_INT8_STRICT", "0") == "1":

@@ -102,12 +102,10 @@ class Trainer(LatentSDETrainer):
             cond_enc = model.apply(variables, condition,
                                    method=Score.encode_condition)
 
-            serve_int8 = (os.environ.get("LDT_SERVE_INT8", "0") == "1"
-                          and not cfg.score.unet and cfg.score.AdaLN
-                          and cfg.score.norm == "layer_norm"
-                          and self.sample_mode != "continuous"
-                          and sde_cfg.predictor != "pndm"
-                          and cond_enc[0] is not None)
+            from ldt_tpu.serving.int8 import int8_cond_serving_active
+
+            serve_int8 = int8_cond_serving_active(
+                cfg, self.sample_mode, cond_enc[0] is not None)
             if serve_int8:
                 # W8A8 conditional serving (ldt_tpu/serving/int8.py):
                 # weights quantized once per run; the static condition KV
@@ -219,13 +217,12 @@ class Trainer(LatentSDETrainer):
     # ------------------------------------------------------------ sampling
     def sample(self, num_samples, num_points=None, label=None,
                condition=None):
+        from ldt_tpu.serving.int8 import int8_cond_serving_active
+
         self._maybe_verify_int8_gate(
-            os.environ.get("LDT_SERVE_INT8", "0") == "1"
-            and self.cfg.score.norm == "layer_norm"
-            and not self.cfg.score.unet and self.cfg.score.AdaLN
-            and self.sample_mode != "continuous"
-            and self.cfg.sde.predictor != "pndm"
-            and condition is not None, completion=True)
+            int8_cond_serving_active(self.cfg, self.sample_mode,
+                                     condition is not None),
+            completion=True)
         self.rng, k = jax.random.split(self.rng)
         return self._cond_sample_step(
             self.state.eval_params(), self.state.batch_stats, self.comp_vars,

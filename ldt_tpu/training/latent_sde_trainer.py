@@ -320,11 +320,10 @@ class Trainer(BaseTrainer):
                                         sde_cfg.sample_N)
                 mods = model.apply({"params": params}, schedule,
                                    method=Score.precompute_mods)
-                # the int8 twin hard-codes non-affine LayerNorm(1e-6)
-                # (serving/int8.py::_ln) — other cfg.score.norm values
-                # must fall through to the exact model path.
-                serve_int8 = (os.environ.get("LDT_SERVE_INT8", "0") == "1"
-                              and cfg.score.norm == "layer_norm")
+                from ldt_tpu.serving.int8 import int8_serving_active
+
+                serve_int8 = int8_serving_active(cfg, self.sample_mode,
+                                                 label, condition)
                 if serve_int8:
                     # W8A8 serving path (ldt_tpu/serving/int8.py) — changes
                     # sampler numerics; enable only after the golden-eval
@@ -474,13 +473,10 @@ class Trainer(BaseTrainer):
         self._int8_gate_checked = key
 
     def sample(self, num_samples, num_points=None, label=None, condition=None):
+        from ldt_tpu.serving.int8 import int8_serving_active
+
         self._maybe_verify_int8_gate(
-            os.environ.get("LDT_SERVE_INT8", "0") == "1"
-            and self.cfg.score.norm == "layer_norm"
-            and label is None and condition is None
-            and not self.cfg.score.unet and self.cfg.score.AdaLN
-            and self.sample_mode != "continuous"
-            and self.cfg.sde.predictor != "pndm")
+            int8_serving_active(self.cfg, self.sample_mode, label, condition))
         self.rng, k = jax.random.split(self.rng)
         sample, eps = self._sample_step(
             self.state.eval_params(), self.comp_vars, k, int(num_samples),

@@ -253,10 +253,32 @@ class TestSymmetricPairwiseCD:
         # the mirror really is symmetric (the full form is only f32-close)
         np.testing.assert_array_equal(sym, sym.T)
 
-    def test_rejects_non_square(self):
-        with pytest.raises(AssertionError):
+    def test_rejects_distinct_inputs(self):
+        # non-square is rejected, but so are two DISTINCT equal-length
+        # arrays: the mirror would silently fill CD(ref_i, smp_j) where
+        # CD(smp_i, ref_j) belongs (round-5 review finding)
+        with pytest.raises(ValueError, match="SAME array"):
             pairwise_CD(self._pcs(4), self._pcs(6, seed=1), batch_size=2,
                         symmetric=True)
+        with pytest.raises(ValueError, match="SAME array"):
+            pairwise_CD(self._pcs(4), self._pcs(4, seed=1), batch_size=2,
+                        symmetric=True)
+
+    def test_symmetric_tiles_stay_square_and_fat(self):
+        """At flagship eval shapes (2048-pt clouds, batch_size=64) the VMEM
+        budget caps the asymmetric sample-block at 1; the symmetric path
+        must pick a ~sqrt(budget) SQUARE side instead of min(sb, rb)=1 —
+        1x1 tiles are ~33k synchronous tunnel roundtrips for an n=256
+        self-matrix (round-5 review finding)."""
+        from ldt_tpu.eval.metrics import _tile_shape
+
+        sb, rb = _tile_shape(256, 256, 64, None, 2048, 2048, symmetric=True)
+        assert sb == rb, "symmetric tiles must be square"
+        assert sb >= 8, f"degenerate symmetric tile side {sb}"
+        # and the budget is still honored: side^2 pairs fit the tile cap
+        from ldt_tpu.eval.metrics import _PAIR_TILE_BYTES
+
+        assert sb * sb * 2048 * 2048 * 4 <= _PAIR_TILE_BYTES
 
     def test_compute_cd_metrics_unchanged(self):
         from ldt_tpu.eval.metrics import compute_CD_metrics

@@ -117,9 +117,12 @@ def test_gate_runs_and_reports(exp_dir, monkeypatch, capsys):
     spath = gate_stamp_path(str(exp_dir / "checkpt_5.msgpack"))
     assert os.path.exists(spath), "gate did not write its stamp"
     stamp = json.load(open(spath))
-    assert stamp["passed"] == (rc == 0)
-    assert stamp["sampler"]["sample_N"] == 8  # the --steps override
-    assert stamp["checkpoint"]["file"] == "checkpt_5.msgpack"
+    # per-(checkpoint, sampler-config) entry list (a later gate for another
+    # config must not destroy this verdict)
+    (entry,) = stamp["entries"]
+    assert entry["passed"] == (rc == 0)
+    assert entry["sampler"]["sample_N"] == 8  # the --steps override
+    assert entry["checkpoint"]["file"] == "checkpt_5.msgpack"
 
 @pytest.fixture()
 def completion_exp_dir(tmp_path):
@@ -319,6 +322,56 @@ class TestGateStamp:
         monkeypatch.setenv("LDT_INT8_BF16_TAIL", "4")
         assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
                                                         False)
+
+    def test_second_config_stamp_preserves_first(self, tmp_path):
+        """Certification is per-(checkpoint, sampler-config): gating a
+        second config (e.g. DDIM-50, the round-4 documented FAIL) must not
+        destroy the first config's PASSED entry (round-5 review finding)."""
+        from ldt_tpu.serving.int8 import verify_gate_stamp, write_gate_stamp
+
+        ckpt = self._ckpt(tmp_path)
+        write_gate_stamp(ckpt, self._cfg(), False, passed=True,
+                         results={}, threshold=0.01)
+        ddim = self._cfg()
+        ddim.sde.sample_N, ddim.sde.predictor = 50, "ddim"
+        write_gate_stamp(ckpt, ddim, False, passed=False,
+                         results={}, threshold=0.01)
+        # the ancestral certification survives; DDIM reports its own FAIL
+        assert verify_gate_stamp(ckpt, self._cfg(), False) is None
+        assert "FAILED" in verify_gate_stamp(ckpt, ddim, False)
+        # re-gating the same config replaces its entry, not appends
+        write_gate_stamp(ckpt, ddim, False, passed=True,
+                         results={}, threshold=0.01)
+        assert verify_gate_stamp(ckpt, ddim, False) is None
+
+    def test_corrupt_stamp_warns_not_crashes(self, tmp_path, capsys):
+        """A truncated stamp (killed gate / container reset mid-write) must
+        produce the warn/refuse path, not an uncaught JSONDecodeError."""
+        from ldt_tpu.serving.int8 import (gate_stamp_path,
+                                          verify_gate_stamp)
+
+        ckpt = self._ckpt(tmp_path)
+        with open(gate_stamp_path(ckpt), "w") as f:
+            f.write('{"entries": [{"passed": tru')  # truncated mid-write
+        problem = verify_gate_stamp(ckpt, self._cfg(), False)
+        assert problem is not None and "unreadable" in problem
+        assert "WARNING" in capsys.readouterr().out
+
+    def test_fingerprint_covers_interior_of_medium_files(self, tmp_path):
+        """Checkpoints between 4 and 8 MB: every byte must be covered by
+        the head+tail hash (a `size > 2*chunk` guard left the middle of
+        such files unhashed — round-5 review finding)."""
+        from ldt_tpu.serving.int8 import _ckpt_fingerprint
+
+        p = tmp_path / "mid.msgpack"
+        data = bytearray(6 * 1024 * 1024)
+        p.write_bytes(data)
+        before = _ckpt_fingerprint(str(p))
+        data[5 * 1024 * 1024] = 0xFF  # flip one interior byte, same size
+        p.write_bytes(data)
+        after = _ckpt_fingerprint(str(p))
+        assert before["size"] == after["size"]
+        assert before["sha256_edges"] != after["sha256_edges"]
 
     def test_trainer_sample_checks_once(self, tmp_path, monkeypatch,
                                         capsys):
