@@ -144,6 +144,39 @@ def main():
     # all within the 1% BASELINE.md criterion; docs/sampler_profile.md).
     # LDT_BENCH_INT8=0 restores the bf16-exact path (~474 clouds/min).
     use_int8 = os.environ.get("LDT_BENCH_INT8", "1") == "1" and use_mods
+    # LDT_BENCH_INT8_STATIC=1: A/B point for the static-activation-scale
+    # int8 scheme (LDT_INT8_STATIC serving) — calibrates in-process with
+    # one recording scan (ancestral only), then serves with per-step
+    # scalar scales instead of the per-token amax reduce.
+    use_static = (use_int8 and predictor == "ancestral"
+                  and os.environ.get("LDT_BENCH_INT8_STATIC", "0") == "1")
+    act_scales = None
+    if use_static:
+        import sys as _s
+
+        from ldt_tpu.models.score import Score as _Sc
+        from ldt_tpu.serving.int8 import (
+            calibrate_act_scales,
+            quantize_score_params as _qsp,
+        )
+
+        @jax.jit
+        def _calib(params, rng):
+            schedule = jnp.linspace(1.0, 1e-6, steps)
+            mods = score.apply({"params": params}, schedule,
+                               method=_Sc.precompute_mods)
+            qp = _qsp(params, scfg.num_blocks)
+            scales, _ = calibrate_act_scales(
+                sde, mods, qp, scfg.num_heads, rng, batch,
+                (scfg.z_scale, scfg.z_dim), steps,
+                interpret=jax.default_backend() != "tpu")
+            return scales
+
+        _tc = time.perf_counter()
+        act_scales = jnp.asarray(_calib(score_params, jax.random.key(7)))
+        act_scales.block_until_ready()
+        print(f"[bench] int8 static calibration: "
+              f"{time.perf_counter() - _tc:.1f} s", file=_s.stderr)
 
     def make_score_fn(params):
         if use_mods:
@@ -163,7 +196,9 @@ def main():
                         lambda m: m[step], mods)
                     p = denoise_with_mods_int8(
                         x, step_mods, qparams, scfg.num_heads,
-                        interpret=jax.default_backend() != "tpu")
+                        interpret=jax.default_backend() != "tpu",
+                        act_scales=None if act_scales is None
+                        else act_scales[step])
                     std = sde.std(t)[:, None, None]
                     return -p.astype(jnp.float32) / std, p
                 return score_fn

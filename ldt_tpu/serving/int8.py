@@ -51,11 +51,24 @@ def quantize_weight(w: jax.Array):
 
 
 def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
-                out_dtype=jnp.bfloat16) -> jax.Array:
+                out_dtype=jnp.bfloat16, x_scale=None,
+                record=None) -> jax.Array:
     """x [..., K] @ int8 weight with dynamic per-row activation quant.
 
     `w_scale=None` means the weight is a bf16 PASSTHROUGH (a block kept
     un-quantized by the `bf16_tail` mixed scheme below) — plain matmul.
+
+    `x_scale` (STATIC scheme, LDT_INT8_STATIC): a precomputed scalar
+    activation scale for this site/step (from `calibrate_act_scales`).
+    Replaces the per-token amax reduce + its data-dependent quantize chain
+    with a scalar multiply the compiler can fuse straight into the
+    activation's producer — the dynamic scheme's reduce_max (0.18 ms) and
+    part of its cast traffic (0.50 ms) are the only non-GEMM, non-attention
+    costs left in the flagship int8 step (docs/sampler_profile.md).
+    Coarser than per-token quantization — gate before serving.
+
+    `record`: a Python list; when given, the pre-quantization activation
+    amax (one f32 scalar) is appended per call — the calibration hook.
 
     Fusion note (profiled on v5e): computing the row amax from an f32
     upcast of x gives the upcast TWO consumers (the reduce and the divide),
@@ -66,9 +79,17 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
     fusion, no f32 temp.
     """
     if w_scale is None:
+        if record is not None:
+            record.append(jnp.zeros((), jnp.float32))  # site alignment
         return jnp.asarray(x @ w_i8, out_dtype)
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
-    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    if record is not None:
+        record.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
+    if x_scale is None:
+        amax = jnp.max(jnp.abs(x), axis=-1,
+                       keepdims=True).astype(jnp.float32)
+        s_x = jnp.maximum(amax, 1e-12) / 127.0
+    else:
+        s_x = jnp.asarray(x_scale, jnp.float32)
     x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                     -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -228,24 +249,35 @@ def _ln(x: jax.Array) -> jax.Array:
 
 
 def _block_int8(h: jax.Array, m: jax.Array, blk: Dict[str, Any],
-                attention_fn) -> jax.Array:
+                attention_fn, scales=None, record=None) -> jax.Array:
     """One DiT block of the int8 twins — shared by the unconditional and
     conditional paths so a numerics fix lands in both at once.
 
     modulate -> attention (via `attention_fn(q_in)`, the only part that
     differs between self- and cross-attention blocks) -> int8 fc_o ->
     gated residual -> modulate -> int8 MLP (gelu) -> gated residual.
+
+    `scales`: this block's [4] static activation scales (site order
+    qkv/o/up/dn — qkv is consumed inside `attention_fn`, which the caller
+    builds with `scales[0]`); `record` collects amaxes in the same order.
     """
+
+    def sc(i):
+        return None if scales is None else scales[i]
+
     (shift_msa, scale_msa, gate_msa,
      shift_mlp, scale_mlp, gate_mlp) = jnp.split(m, 6, axis=-1)
     q_in = _modulate(_ln(h), shift_msa, scale_msa)
     att = attention_fn(q_in)
-    att = int8_matmul(att, blk["o_w"], blk["o_s"]) + blk["o_b"]
+    att = int8_matmul(att, blk["o_w"], blk["o_s"], x_scale=sc(1),
+                      record=record) + blk["o_b"]
     h = h + gate_msa * att
     m_in = _modulate(_ln(h), shift_mlp, scale_mlp)
     up = jax.nn.gelu(
-        int8_matmul(m_in, blk["up_w"], blk["up_s"]) + blk["up_b"])
-    dn = int8_matmul(up, blk["dn_w"], blk["dn_s"]) + blk["dn_b"]
+        int8_matmul(m_in, blk["up_w"], blk["up_s"], x_scale=sc(2),
+                    record=record) + blk["up_b"])
+    dn = int8_matmul(up, blk["dn_w"], blk["dn_s"], x_scale=sc(3),
+                     record=record) + blk["dn_b"]
     return h + gate_mlp * dn
 
 
@@ -258,12 +290,18 @@ def _final_int8(h: jax.Array, mf: jax.Array, q: Dict[str, Any]) -> jax.Array:
 
 def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
                            q: Dict[str, Any], num_heads: int,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False, act_scales=None,
+                           record=None) -> jax.Array:
     """int8 twin of `Score.denoise_with_mods` for ONE denoise step.
 
     x: [B, z_scale, z_dim]; mods = {'blocks': [num_blocks, 6*hidden],
     'final': [2*hidden]} (this step's slice of `precompute_mods`); q from
     `quantize_score_params`.
+
+    `act_scales`: this step's [num_blocks, 4] STATIC activation scales
+    (LDT_INT8_STATIC scheme — see `int8_matmul` / `calibrate_act_scales`);
+    None keeps the dynamic per-token quantization. `record`: Python list
+    collecting per-site activation amaxes (calibration).
     """
     from ldt_tpu.ops.pallas_attention import fused_attention_packed
 
@@ -272,12 +310,17 @@ def denoise_with_mods_int8(x: jax.Array, mods: Dict[str, jax.Array],
         m = mods["blocks"][i]
         while m.ndim < 3:
             m = m[None]
+        qkv_scale = None if act_scales is None else act_scales[i, 0]
+        blk_scales = None if act_scales is None else act_scales[i]
 
-        def self_attn(q_in, blk=blk):
-            qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"]) + blk["qkv_b"]
+        def self_attn(q_in, blk=blk, qkv_scale=qkv_scale):
+            qkv = int8_matmul(q_in, blk["qkv_w"], blk["qkv_s"],
+                              x_scale=qkv_scale,
+                              record=record) + blk["qkv_b"]
             return fused_attention_packed(qkv, num_heads, interpret)
 
-        h = _block_int8(h, m, blk, self_attn)
+        h = _block_int8(h, m, blk, self_attn, scales=blk_scales,
+                        record=record)
     mf = mods["final"]
     while mf.ndim < 3:
         mf = mf[None]
@@ -329,6 +372,104 @@ def denoise_cond_int8(x: jax.Array, t_emb: jax.Array, img_emb,
     return _final_int8(h, fm, q)
 
 
+def calibrate_act_scales(sde, mods, qparams, num_heads: int, rng,
+                         num_samples: int, shape, N: int,
+                         time_eps: float = 1e-6, interpret: bool = False):
+    """Per-(step, block, site) STATIC activation scales for the int8
+    sampler (LDT_INT8_STATIC scheme).
+
+    Runs one full N-step ancestral reverse scan with the DYNAMIC int8
+    sampler while recording each quantized GEMM input's amax; the returned
+    scales are amax/127 — per-step scalars that replace the per-token amax
+    reduce at serve time. The loop mirrors `sampling.sample_discrete`'s
+    rng pattern and ancestral predictor EXACTLY (sampling.py:94-124,
+    202-230; pinned-equality tested in tests/test_int8_serving.py) so the
+    recorded trajectories are the ones serving will see.
+
+    Returns (scales [N, num_blocks, 4] f32, x_mean [num_samples, *shape]).
+    Site order per block: qkv / o / up / dn. Ancestral-predictor only —
+    int8 serving is certified for 1000-step ancestral (DDIM-50 was
+    gate-refuted, docs/sampler_profile.md).
+    """
+    nb = len(qparams["blocks"])
+
+    def score_record(t, x, step):
+        step_mods = jax.tree_util.tree_map(lambda m: m[step], mods)
+        rec = []
+        p = denoise_with_mods_int8(x, step_mods, qparams, num_heads,
+                                   interpret=interpret, record=rec)
+        std = sde.std(t)[:, None, None]
+        return -p.astype(jnp.float32) / std, jnp.stack(rec).reshape(nb, 4)
+
+    T = 1.0
+    full_shape = (num_samples,) + tuple(shape)
+    rng, init_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, full_shape)
+    if sde.sde_type == "vesde":
+        x0 = x0 * jnp.sqrt(sde.sigma2_max)
+    timesteps = jnp.linspace(T, time_eps, N)
+
+    def body(carry, ti):
+        t, i = ti
+        x, x_mean, step_rng = carry
+        step_rng, k1, k2 = jax.random.split(step_rng, 3)
+        tv = jnp.full((num_samples,), t)
+        idx = (t * (N - 1) / T).astype(jnp.int32)
+        beta = sde.betas[idx]
+        score, amax = score_record(tv, x, i)
+        x_mean = (x + beta * score) / jnp.sqrt(1.0 - beta)
+        noise = jax.random.normal(k1, x.shape)
+        return (x_mean + jnp.sqrt(beta) * noise, x_mean, step_rng), amax
+
+    (x, x_mean, _), amaxes = jax.lax.scan(
+        body, (x0, x0, rng),
+        (timesteps, jnp.arange(N, dtype=jnp.int32)))
+    scales = jnp.maximum(amaxes, 1e-12) / 127.0
+    return scales, x_mean
+
+
+def act_scales_path(ckpt_path: str) -> str:
+    return ckpt_path + ".int8_act_scales.npz"
+
+
+def load_act_scales(ckpt_path: Optional[str], sample_N: int,
+                    num_blocks: int):
+    """Static activation scales for a checkpoint, or None (with a printed
+    reason) when serving must fall back to dynamic quantization.
+
+    Reads LDT_INT8_STATIC_FILE if set (bench/experiments), else the
+    `.int8_act_scales.npz` next to the checkpoint (written by
+    scripts/int8_calibrate.py). Shape-validated against the running
+    sampler config."""
+    import numpy as np
+
+    path = os.environ.get("LDT_INT8_STATIC_FILE")
+    if not path:
+        if ckpt_path is None:
+            print("[int8-static] no restored checkpoint to locate "
+                  "calibration scales — falling back to dynamic "
+                  "quantization", flush=True)
+            return None
+        path = act_scales_path(ckpt_path)
+    if not os.path.exists(path):
+        print(f"[int8-static] no calibration file {path} — run "
+              "scripts/int8_calibrate.py; falling back to dynamic "
+              "quantization", flush=True)
+        return None
+    try:
+        scales = np.load(path)["scales"]
+    except Exception as e:  # corrupt file must not crash sampling
+        print(f"[int8-static] unreadable calibration file {path} ({e}) — "
+              "falling back to dynamic quantization", flush=True)
+        return None
+    if scales.shape != (sample_N, num_blocks, 4):
+        print(f"[int8-static] calibration shape {scales.shape} does not "
+              f"match sampler ({sample_N}, {num_blocks}, 4) — falling back "
+              "to dynamic quantization", flush=True)
+        return None
+    return jnp.asarray(scales, jnp.float32)
+
+
 # --------------------------------------------------------------------------
 # Golden-gate stamps (VERDICT r4 weak #2): the int8 path changes sampler
 # numerics, so every (checkpoint, sampler-config) pair must be re-certified
@@ -370,7 +511,8 @@ def _sampler_signature(cfg, completion: bool) -> Dict[str, Any]:
             "sample_mode": str(cfg.sde.sample_mode),
             "sde_type": str(cfg.sde.sde_type),
             "attn_int8": os.environ.get("LDT_ATTN_INT8", "0") == "1",
-            "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))}
+            "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0")),
+            "static_act": os.environ.get("LDT_INT8_STATIC", "0") == "1"}
 
 
 def int8_serving_active(cfg, sample_mode: str, label=None,

@@ -332,18 +332,30 @@ class Trainer(BaseTrainer):
                     # outside the scan.
                     from ldt_tpu.serving.int8 import (
                         denoise_with_mods_int8,
+                        load_act_scales,
                         quantize_score_params,
                     )
 
                     qparams = quantize_score_params(params,
                                                     cfg.score.num_blocks)
+                    # LDT_INT8_STATIC=1: per-step static activation scales
+                    # (calibrated by scripts/int8_calibrate.py) replace the
+                    # per-token amax reduce in the scan; missing/mismatched
+                    # calibration falls back to dynamic with a warning.
+                    act_scales = None
+                    if os.environ.get("LDT_INT8_STATIC", "0") == "1":
+                        act_scales = load_act_scales(
+                            getattr(self, "_restored_ckpt", None),
+                            sde_cfg.sample_N, cfg.score.num_blocks)
 
                     def score_fn(t, x, step):
                         step_mods = jax.tree_util.tree_map(
                             lambda m: m[step], mods)
                         p = denoise_with_mods_int8(
                             x, step_mods, qparams, cfg.score.num_heads,
-                            interpret=jax.default_backend() != "tpu")
+                            interpret=jax.default_backend() != "tpu",
+                            act_scales=None if act_scales is None
+                            else act_scales[step])
                         std = sde.std(t)[:, None, None]
                         return -p.astype(jnp.float32) / std, p
                 else:

@@ -322,6 +322,11 @@ class TestGateStamp:
         monkeypatch.setenv("LDT_INT8_BF16_TAIL", "4")
         assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
                                                         False)
+        # static-activation-scale scheme is part of the signature too
+        monkeypatch.delenv("LDT_INT8_BF16_TAIL", raising=False)
+        monkeypatch.setenv("LDT_INT8_STATIC", "1")
+        assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
+                                                        False)
 
     def test_second_config_stamp_preserves_first(self, tmp_path):
         """Certification is per-(checkpoint, sampler-config): gating a

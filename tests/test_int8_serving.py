@@ -181,3 +181,147 @@ class TestDenoiseInt8:
         assert blk["qkv_s"].shape == (3 * 64,)
         assert blk["up_w"].shape == (64, 256)
         assert blk["dn_w"].shape == (256, 64)
+
+
+class TestStaticActScales:
+    """STATIC per-step activation scales (LDT_INT8_STATIC scheme):
+    `int8_matmul(x_scale=...)`, the calibration recording hook, the
+    calibration scan's trajectory parity with `sample_discrete`, and the
+    serving fallback when calibration is absent."""
+
+    def test_static_matmul_close_to_float(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(8, 64).astype(np.float32)
+        w = rng.randn(64, 32).astype(np.float32)
+        w_i8, s = quantize_weight(jnp.asarray(w))
+        x_scale = jnp.asarray(np.abs(x).max() / 127.0)
+        got = np.asarray(int8_matmul(jnp.asarray(x), w_i8, s,
+                                     out_dtype=jnp.float32,
+                                     x_scale=x_scale))
+        want = x @ w
+        denom = np.abs(want).mean()
+        # per-tensor static is coarser than per-token dynamic but must stay
+        # a faithful W8A8 GEMM on gaussian data
+        assert np.abs(got - want).mean() / denom < 0.02
+
+    def test_record_collects_per_site_amax(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(4, 32).astype(np.float32)
+        w = rng.randn(32, 16).astype(np.float32)
+        w_i8, s = quantize_weight(jnp.asarray(w))
+        rec = []
+        int8_matmul(jnp.asarray(x), w_i8, s, record=rec)
+        # bf16 passthrough sites keep alignment with a zero entry
+        int8_matmul(jnp.asarray(x, jnp.bfloat16),
+                    jnp.asarray(w, jnp.bfloat16), None, record=rec)
+        assert len(rec) == 2
+        np.testing.assert_allclose(float(rec[0]), np.abs(x).max(),
+                                   rtol=1e-2)
+        assert float(rec[1]) == 0.0
+
+    def test_denoise_static_close_to_dynamic(self):
+        """Scales recorded from the SAME input reproduce the dynamic twin
+        closely (the remaining gap is per-token vs per-tensor granularity,
+        bounded well under the bf16-model agreement bound)."""
+        from ldt_tpu.models.score import Score as ScoreCls
+
+        td = TestDenoiseInt8()
+        cfg, model, params = td._score()
+        schedule = jnp.linspace(1.0, 1e-6, 4)
+        mods = model.apply({"params": params}, schedule,
+                           method=ScoreCls.precompute_mods)
+        step_mods = jax.tree_util.tree_map(lambda m: m[1], mods)
+        x = jax.random.normal(jax.random.key(9), (2, 8, 16))
+        q = quantize_score_params(params, cfg.num_blocks)
+        rec = []
+        dyn = np.asarray(denoise_with_mods_int8(
+            x, step_mods, q, cfg.num_heads, interpret=True, record=rec),
+            np.float32)
+        assert len(rec) == cfg.num_blocks * 4
+        act_scales = jnp.maximum(
+            jnp.stack(rec).reshape(cfg.num_blocks, 4), 1e-12) / 127.0
+        static = np.asarray(denoise_with_mods_int8(
+            x, step_mods, q, cfg.num_heads, interpret=True,
+            act_scales=act_scales), np.float32)
+        denom = np.abs(dyn).mean()
+        assert np.abs(static - dyn).mean() / denom < 0.05, (
+            np.abs(static - dyn).mean(), denom)
+        # and the static path genuinely differs (it quantized differently)
+        assert np.abs(static - dyn).max() > 0
+
+    def test_calibration_scan_matches_sample_discrete(self):
+        """`calibrate_act_scales` mirrors sample_discrete's rng pattern and
+        ancestral predictor — its returned trajectory must match a real
+        `sample_discrete` run with the SAME dynamic-int8 score_fn (guards
+        the mirrored predictor against drift in sampling.py)."""
+        from ldt_tpu.diffusion import make_diffusion
+        from ldt_tpu.diffusion.sampling import sample_discrete
+        from ldt_tpu.models.score import Score as ScoreCls
+        from ldt_tpu.serving.int8 import calibrate_act_scales
+
+        td = TestDenoiseInt8()
+        cfg, model, params = td._score()
+        # beta_end/N must stay < 1 or the discrete ancestral beta table
+        # goes NaN (sqrt(1-beta)) — the documented tiny-config trap
+        N = 6
+        sde = make_diffusion(dict2namespace(dict(
+            beta_start=0.1, beta_end=3.0, sde_type="vpsde", sigma2_0=0.0,
+            time_eps=0.01, sample_time_eps=1e-6, sample_mode="discrete",
+            train_N=N, sample_N=N)))
+        schedule = jnp.linspace(1.0, 1e-6, N)
+        mods = model.apply({"params": params}, schedule,
+                           method=ScoreCls.precompute_mods)
+        q = quantize_score_params(params, cfg.num_blocks)
+
+        def score_fn(t, x, step):
+            step_mods = jax.tree_util.tree_map(lambda m: m[step], mods)
+            p = denoise_with_mods_int8(x, step_mods, q, cfg.num_heads,
+                                       interpret=True)
+            std = sde.std(t)[:, None, None]
+            return -p.astype(jnp.float32) / std, p
+
+        rng = jax.random.key(42)
+        want = np.asarray(sample_discrete(
+            sde, score_fn, rng, 2, (cfg.z_scale, cfg.z_dim), N=N,
+            predictor="ancestral", time_eps=1e-6, denoise=True))
+        scales, x_mean = calibrate_act_scales(
+            sde, mods, q, cfg.num_heads, rng, 2,
+            (cfg.z_scale, cfg.z_dim), N, time_eps=1e-6, interpret=True)
+        np.testing.assert_allclose(np.asarray(x_mean), want, rtol=1e-5,
+                                   atol=1e-6)
+        assert scales.shape == (N, cfg.num_blocks, 4)
+        assert np.all(np.asarray(scales) > 0)
+
+    def test_load_act_scales_fallbacks(self, tmp_path, capsys):
+        import json
+
+        from ldt_tpu.serving.int8 import act_scales_path, load_act_scales
+
+        ckpt = str(tmp_path / "checkpt_4.msgpack")
+        open(ckpt, "wb").write(b"x")
+        # no restored checkpoint / no file -> dynamic fallback, with reason
+        assert load_act_scales(None, 8, 3) is None
+        assert load_act_scales(ckpt, 8, 3) is None
+        out = capsys.readouterr().out
+        assert "falling back to dynamic" in out
+        # wrong shape -> fallback; right shape -> loaded
+        np.savez(act_scales_path(ckpt),
+                 scales=np.ones((4, 3, 4), np.float32),
+                 meta=json.dumps({}))
+        assert load_act_scales(ckpt, 8, 3) is None
+        np.savez(act_scales_path(ckpt),
+                 scales=np.ones((8, 3, 4), np.float32),
+                 meta=json.dumps({}))
+        got = load_act_scales(ckpt, 8, 3)
+        assert got is not None and got.shape == (8, 3, 4)
+        # LDT_INT8_STATIC_FILE override wins
+        import os as _os
+
+        other = str(tmp_path / "other.npz")
+        np.savez(other, scales=np.full((8, 3, 4), 2.0, np.float32))
+        _os.environ["LDT_INT8_STATIC_FILE"] = other
+        try:
+            got = load_act_scales(ckpt, 8, 3)
+            assert float(np.asarray(got)[0, 0, 0]) == 2.0
+        finally:
+            del _os.environ["LDT_INT8_STATIC_FILE"]
