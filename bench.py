@@ -150,6 +150,15 @@ def main():
     # scalar scales instead of the per-token amax reduce.
     use_static = (use_int8 and predictor == "ancestral"
                   and os.environ.get("LDT_BENCH_INT8_STATIC", "0") == "1")
+    if os.environ.get("LDT_BENCH_INT8_STATIC", "0") == "1" and not use_static:
+        # a silently-ignored A/B knob corrupts same-session comparisons —
+        # say so loudly (the run below measures DYNAMIC int8)
+        import sys as _s2
+
+        print("[bench] LDT_BENCH_INT8_STATIC=1 IGNORED (needs int8+mods "
+              f"and the ancestral predictor; predictor={predictor}, "
+              f"int8={use_int8}) — this run measures the dynamic path",
+              file=_s2.stderr)
     act_scales = None
     if use_static:
         import sys as _s
@@ -160,6 +169,10 @@ def main():
             quantize_score_params as _qsp,
         )
 
+        # NOTE: intentionally a local twin of scripts/int8_calibrate.py's
+        # calib jit (bench calibrates the RANDOM/bench weights in-process,
+        # no margin, bench time_eps) — if the recording recipe changes
+        # (sites, correctors), update both.
         @jax.jit
         def _calib(params, rng):
             schedule = jnp.linspace(1.0, 1e-6, steps)

@@ -432,41 +432,95 @@ def act_scales_path(ckpt_path: str) -> str:
     return ckpt_path + ".int8_act_scales.npz"
 
 
-def load_act_scales(ckpt_path: Optional[str], sample_N: int,
-                    num_blocks: int):
-    """Static activation scales for a checkpoint, or None (with a printed
-    reason) when serving must fall back to dynamic quantization.
+def save_act_scales(ckpt_path: str, scales, **meta_extra) -> str:
+    """Write the calibration table next to the checkpoint, bound to its
+    content (fingerprint) and to the quantization scheme active at
+    calibration time (bf16_tail) — `load_act_scales` refuses on any
+    mismatch, so stale or scheme-crossed scales can never silently pair
+    with a different model (round-5 review findings)."""
+    import json
 
-    Reads LDT_INT8_STATIC_FILE if set (bench/experiments), else the
-    `.int8_act_scales.npz` next to the checkpoint (written by
-    scripts/int8_calibrate.py). Shape-validated against the running
-    sampler config."""
     import numpy as np
 
-    path = os.environ.get("LDT_INT8_STATIC_FILE")
-    if not path:
-        if ckpt_path is None:
-            print("[int8-static] no restored checkpoint to locate "
-                  "calibration scales — falling back to dynamic "
-                  "quantization", flush=True)
-            return None
+    meta = {"checkpoint": _ckpt_fingerprint(ckpt_path),
+            "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))}
+    meta.update(meta_extra)
+    out = act_scales_path(ckpt_path)
+    np.savez(out, scales=np.asarray(scales, np.float32),
+             meta=json.dumps(meta))
+    return out
+
+
+def load_act_scales(ckpt_path: Optional[str], sample_N: int,
+                    num_blocks: int, cfg=None):
+    """Static activation scales for a checkpoint.
+
+    LDT_INT8_STATIC=1 is an EXPLICIT opt-in, so any problem here RAISES
+    instead of silently serving dynamic quantization — a silent fallback
+    would mislabel gate runs and bench A/Bs as 'static' (round-5 review
+    finding #2). Checks, beyond the (sample_N, num_blocks, 4) shape:
+      * the npz's recorded checkpoint fingerprint matches the checkpoint
+        being served (stale scales from a retrained chain are refused);
+      * the bf16_tail scheme at calibration matches the serving env
+        (a tail block's passthrough site records amax 0 — serving it
+        quantized with scale ~1e-14 would clip everything to garbage);
+      * the calibrated predictor is the running predictor (ancestral-only)
+        and no corrector is configured.
+    Reads LDT_INT8_STATIC_FILE if set (bench/experiments, skips the
+    fingerprint binding since the file is explicitly chosen), else the
+    `.int8_act_scales.npz` next to the checkpoint."""
+    import json
+
+    import numpy as np
+
+    def refuse(why):
+        raise RuntimeError(
+            f"[int8-static] {why} — run scripts/int8_calibrate.py for this "
+            "checkpoint/scheme, or unset LDT_INT8_STATIC to serve dynamic "
+            "quantization")
+
+    explicit = os.environ.get("LDT_INT8_STATIC_FILE")
+    if explicit:
+        path = explicit
+    elif ckpt_path is None:
+        refuse("no restored checkpoint to locate calibration scales "
+               "(state was not restored through resume/load_pretrain)")
+    else:
         path = act_scales_path(ckpt_path)
     if not os.path.exists(path):
-        print(f"[int8-static] no calibration file {path} — run "
-              "scripts/int8_calibrate.py; falling back to dynamic "
-              "quantization", flush=True)
-        return None
+        refuse(f"no calibration file {path}")
     try:
-        scales = np.load(path)["scales"]
-    except Exception as e:  # corrupt file must not crash sampling
-        print(f"[int8-static] unreadable calibration file {path} ({e}) — "
-              "falling back to dynamic quantization", flush=True)
-        return None
+        data = np.load(path)
+        scales = data["scales"]
+        meta = json.loads(str(data["meta"])) if "meta" in data else {}
+    except Exception as e:
+        refuse(f"unreadable calibration file {path} ({e})")
     if scales.shape != (sample_N, num_blocks, 4):
-        print(f"[int8-static] calibration shape {scales.shape} does not "
-              f"match sampler ({sample_N}, {num_blocks}, 4) — falling back "
-              "to dynamic quantization", flush=True)
-        return None
+        refuse(f"calibration shape {scales.shape} does not match the "
+               f"running sampler ({sample_N}, {num_blocks}, 4)")
+    if not explicit:
+        # a table without a recorded fingerprint cannot be trusted either —
+        # pre-binding files must be recalibrated (container resets retrain
+        # the checkpoint chains under drifting tunnel compilers)
+        if meta.get("checkpoint") != _ckpt_fingerprint(ckpt_path):
+            refuse(f"calibration in {path} is not bound to this "
+                   "checkpoint's content (missing or mismatched "
+                   "fingerprint)")
+    want_tail = int(os.environ.get("LDT_INT8_BF16_TAIL", "0"))
+    if int(meta.get("bf16_tail", 0)) != want_tail:
+        refuse(f"scales calibrated under bf16_tail="
+               f"{meta.get('bf16_tail', 0)} but serving with "
+               f"bf16_tail={want_tail}")
+    if cfg is not None:
+        pred = str(cfg.sde.predictor)
+        cal_pred = str(meta.get("predictor", "ancestral"))
+        if pred != cal_pred or pred != "ancestral":
+            refuse(f"scales calibrated for predictor={cal_pred} but "
+                   f"serving predictor={pred} (static int8 is "
+                   "ancestral-only)")
+        if getattr(cfg.sde, "corrector", None):
+            refuse("static int8 scales are calibrated without a "
+                   f"corrector; config has corrector={cfg.sde.corrector}")
     return jnp.asarray(scales, jnp.float32)
 
 
@@ -512,7 +566,12 @@ def _sampler_signature(cfg, completion: bool) -> Dict[str, Any]:
             "sde_type": str(cfg.sde.sde_type),
             "attn_int8": os.environ.get("LDT_ATTN_INT8", "0") == "1",
             "bf16_tail": int(os.environ.get("LDT_INT8_BF16_TAIL", "0")),
-            "static_act": os.environ.get("LDT_INT8_STATIC", "0") == "1"}
+            # the conditional sampler has no static-scale path, so the env
+            # knob must not fork its certification (review finding: a
+            # completion gate under LDT_INT8_STATIC=1 measures the same
+            # dynamic numerics)
+            "static_act": (os.environ.get("LDT_INT8_STATIC", "0") == "1"
+                           and not completion)}
 
 
 def int8_serving_active(cfg, sample_mode: str, label=None,

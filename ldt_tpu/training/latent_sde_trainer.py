@@ -332,7 +332,6 @@ class Trainer(BaseTrainer):
                     # outside the scan.
                     from ldt_tpu.serving.int8 import (
                         denoise_with_mods_int8,
-                        load_act_scales,
                         quantize_score_params,
                     )
 
@@ -340,13 +339,20 @@ class Trainer(BaseTrainer):
                                                     cfg.score.num_blocks)
                     # LDT_INT8_STATIC=1: per-step static activation scales
                     # (calibrated by scripts/int8_calibrate.py) replace the
-                    # per-token amax reduce in the scan; missing/mismatched
-                    # calibration falls back to dynamic with a warning.
+                    # per-token amax reduce in the scan. `sample()` loads
+                    # and provenance-checks them host-side ONCE
+                    # (_ensure_act_scales); the explicit opt-in NEVER
+                    # silently serves dynamic — a caller bypassing
+                    # sample() without scales fails here at trace time.
                     act_scales = None
                     if os.environ.get("LDT_INT8_STATIC", "0") == "1":
-                        act_scales = load_act_scales(
-                            getattr(self, "_restored_ckpt", None),
-                            sde_cfg.sample_N, cfg.score.num_blocks)
+                        act_scales = getattr(self, "_act_scales", None)
+                        if act_scales is None:
+                            raise RuntimeError(
+                                "[int8-static] LDT_INT8_STATIC=1 but no "
+                                "calibration scales are loaded — sample "
+                                "through Trainer.sample(), or run "
+                                "scripts/int8_calibrate.py first")
 
                     def score_fn(t, x, step):
                         step_mods = jax.tree_util.tree_map(
@@ -484,11 +490,32 @@ class Trainer(BaseTrainer):
                           completion)
         self._int8_gate_checked = key
 
+    def _ensure_act_scales(self, active: bool):
+        """Host-side, once-per-checkpoint load of the static int8 scales
+        (LDT_INT8_STATIC) — outside the jit so retraces never re-read the
+        file, and the provenance checks (fingerprint / bf16_tail /
+        predictor, serving/int8.py::load_act_scales) RAISE rather than
+        silently serving dynamic quantization."""
+        if not active or os.environ.get("LDT_INT8_STATIC", "0") != "1":
+            return
+        key = (getattr(self, "_restored_ckpt", None),)
+        if (getattr(self, "_act_scales", None) is not None
+                and getattr(self, "_act_scales_key", None) == key):
+            return
+        from ldt_tpu.serving.int8 import load_act_scales
+
+        self._act_scales = load_act_scales(
+            getattr(self, "_restored_ckpt", None), self.cfg.sde.sample_N,
+            self.cfg.score.num_blocks, self.cfg)
+        self._act_scales_key = key
+
     def sample(self, num_samples, num_points=None, label=None, condition=None):
         from ldt_tpu.serving.int8 import int8_serving_active
 
-        self._maybe_verify_int8_gate(
-            int8_serving_active(self.cfg, self.sample_mode, label, condition))
+        active = int8_serving_active(self.cfg, self.sample_mode, label,
+                                     condition)
+        self._maybe_verify_int8_gate(active)
+        self._ensure_act_scales(active)
         self.rng, k = jax.random.split(self.rng)
         sample, eps = self._sample_step(
             self.state.eval_params(), self.comp_vars, k, int(num_samples),

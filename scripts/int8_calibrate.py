@@ -19,7 +19,6 @@ Usage (TPU):
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -48,9 +47,9 @@ def main():
     from ldt_tpu.diffusion import make_diffusion
     from ldt_tpu.models import Score
     from ldt_tpu.serving.int8 import (
-        act_scales_path,
         calibrate_act_scales,
         quantize_score_params,
+        save_act_scales,
     )
     from ldt_tpu.tools.io import dict2namespace
     from ldt_tpu.tools.utils import enable_compile_cache
@@ -100,12 +99,14 @@ def main():
           f"{time.perf_counter() - t0:.1f} s; latent amax "
           f"{float(np.abs(np.asarray(x_mean)).max()):.3f}")
 
-    out = act_scales_path(ckpt_path)
-    np.savez(out, scales=scales.astype(np.float32),
-             meta=json.dumps({"sample_N": N,
-                              "num_blocks": int(cfg.score.num_blocks),
-                              "batch": args.batch, "margin": args.margin,
-                              "epoch": epoch}))
+    # save_act_scales binds the table to the checkpoint fingerprint + the
+    # bf16_tail scheme active NOW; load_act_scales refuses on mismatch
+    out = save_act_scales(
+        ckpt_path, scales, sample_N=N,
+        num_blocks=int(cfg.score.num_blocks), batch=args.batch,
+        margin=args.margin, epoch=epoch,
+        predictor=str(cfg.sde.predictor),
+        sample_time_eps=float(cfg.sde.sample_time_eps))
     print(f"[calibrate] wrote {out} (shape {scales.shape}, "
           f"scale range [{scales.min():.2e}, {scales.max():.2e}])")
 

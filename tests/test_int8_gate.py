@@ -327,6 +327,15 @@ class TestGateStamp:
         monkeypatch.setenv("LDT_INT8_STATIC", "1")
         assert "different sampler" in verify_gate_stamp(ckpt, self._cfg(),
                                                         False)
+        # ...but NOT for the conditional sampler, which has no static path
+        # (the env knob must not fork its certification)
+        monkeypatch.delenv("LDT_INT8_STATIC", raising=False)
+        ckpt2 = str(tmp_path / "checkpt_c.msgpack")
+        open(ckpt2, "wb").write(b"completion-ckpt" * 50)
+        write_gate_stamp(ckpt2, self._cfg(), True, passed=True,
+                         results={}, threshold=0.01)
+        monkeypatch.setenv("LDT_INT8_STATIC", "1")
+        assert verify_gate_stamp(ckpt2, self._cfg(), True) is None
 
     def test_second_config_stamp_preserves_first(self, tmp_path):
         """Certification is per-(checkpoint, sampler-config): gating a

@@ -292,36 +292,65 @@ class TestStaticActScales:
         assert scales.shape == (N, cfg.num_blocks, 4)
         assert np.all(np.asarray(scales) > 0)
 
-    def test_load_act_scales_fallbacks(self, tmp_path, capsys):
-        import json
+    def test_load_act_scales_refuses_loudly(self, tmp_path, monkeypatch):
+        """LDT_INT8_STATIC is an explicit opt-in: any provenance problem
+        must RAISE, never silently serve dynamic quantization (a silent
+        fallback mislabels gate runs and bench A/Bs as 'static')."""
+        import pytest
 
-        from ldt_tpu.serving.int8 import act_scales_path, load_act_scales
+        from ldt_tpu.serving.int8 import (load_act_scales,
+                                          save_act_scales)
 
+        monkeypatch.delenv("LDT_INT8_STATIC_FILE", raising=False)
+        monkeypatch.delenv("LDT_INT8_BF16_TAIL", raising=False)
         ckpt = str(tmp_path / "checkpt_4.msgpack")
-        open(ckpt, "wb").write(b"x")
-        # no restored checkpoint / no file -> dynamic fallback, with reason
-        assert load_act_scales(None, 8, 3) is None
-        assert load_act_scales(ckpt, 8, 3) is None
-        out = capsys.readouterr().out
-        assert "falling back to dynamic" in out
-        # wrong shape -> fallback; right shape -> loaded
-        np.savez(act_scales_path(ckpt),
-                 scales=np.ones((4, 3, 4), np.float32),
-                 meta=json.dumps({}))
-        assert load_act_scales(ckpt, 8, 3) is None
-        np.savez(act_scales_path(ckpt),
-                 scales=np.ones((8, 3, 4), np.float32),
-                 meta=json.dumps({}))
+        open(ckpt, "wb").write(b"real-checkpoint-bytes")
+        # no restored checkpoint / no file -> refuse
+        with pytest.raises(RuntimeError, match="int8-static"):
+            load_act_scales(None, 8, 3)
+        with pytest.raises(RuntimeError, match="no calibration file"):
+            load_act_scales(ckpt, 8, 3)
+        # wrong shape -> refuse; proper save -> loads
+        save_act_scales(ckpt, np.ones((4, 3, 4), np.float32))
+        with pytest.raises(RuntimeError, match="shape"):
+            load_act_scales(ckpt, 8, 3)
+        save_act_scales(ckpt, np.ones((8, 3, 4), np.float32))
         got = load_act_scales(ckpt, 8, 3)
         assert got is not None and got.shape == (8, 3, 4)
-        # LDT_INT8_STATIC_FILE override wins
-        import os as _os
-
+        # checkpoint retrained after calibration -> fingerprint refuses
+        with open(ckpt, "ab") as f:
+            f.write(b"drift")
+        with pytest.raises(RuntimeError, match="not bound to this"):
+            load_act_scales(ckpt, 8, 3)
+        # legacy tables without a recorded fingerprint are refused too
+        np.savez(str(tmp_path / "checkpt_4.msgpack.int8_act_scales.npz"),
+                 scales=np.ones((8, 3, 4), np.float32))
+        with pytest.raises(RuntimeError, match="not bound to this"):
+            load_act_scales(ckpt, 8, 3)
+        # bf16_tail scheme crossed between calibration and serving ->
+        # refuse (tail passthrough sites record amax 0; serving them
+        # quantized with scale ~1e-14 would clip everything to garbage)
+        save_act_scales(ckpt, np.ones((8, 3, 4), np.float32))
+        monkeypatch.setenv("LDT_INT8_BF16_TAIL", "2")
+        with pytest.raises(RuntimeError, match="bf16_tail"):
+            load_act_scales(ckpt, 8, 3)
+        monkeypatch.delenv("LDT_INT8_BF16_TAIL", raising=False)
+        # predictor mismatch vs the running config -> refuse
+        ddim_cfg = dict2namespace(dict(sde=dict(
+            predictor="ddim", corrector=None)))
+        with pytest.raises(RuntimeError, match="ancestral-only"):
+            load_act_scales(ckpt, 8, 3, ddim_cfg)
+        ok_cfg = dict2namespace(dict(sde=dict(
+            predictor="ancestral", corrector=None)))
+        assert load_act_scales(ckpt, 8, 3, ok_cfg) is not None
+        corr_cfg = dict2namespace(dict(sde=dict(
+            predictor="ancestral", corrector="langevin")))
+        with pytest.raises(RuntimeError, match="corrector"):
+            load_act_scales(ckpt, 8, 3, corr_cfg)
+        # LDT_INT8_STATIC_FILE override wins (and skips the fingerprint
+        # binding — the file is explicitly chosen)
         other = str(tmp_path / "other.npz")
         np.savez(other, scales=np.full((8, 3, 4), 2.0, np.float32))
-        _os.environ["LDT_INT8_STATIC_FILE"] = other
-        try:
-            got = load_act_scales(ckpt, 8, 3)
-            assert float(np.asarray(got)[0, 0, 0]) == 2.0
-        finally:
-            del _os.environ["LDT_INT8_STATIC_FILE"]
+        monkeypatch.setenv("LDT_INT8_STATIC_FILE", other)
+        got = load_act_scales(ckpt, 8, 3)
+        assert float(np.asarray(got)[0, 0, 0]) == 2.0
